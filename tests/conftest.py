@@ -1,0 +1,14 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so sharding tests work without
+TPU hardware; this must be set before jax is first imported.
+The benchmark (bench.py) runs on the real TPU and does not import this.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()

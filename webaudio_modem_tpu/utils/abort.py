@@ -1,0 +1,143 @@
+"""Cancellation primitives: AbortController / AbortSignal for asyncio.
+
+The reference uses DOM AbortSignal throughout (composite timeout signals
+at src/transports/xmodem/xmodem.ts:535-543, per-operation controllers at
+:71-79, and a hand-rolled worklet-side variant at
+src/webaudio/processors/fsk-processor.ts:26-61).  This module provides
+the same semantics on asyncio: synchronous listener dispatch, timeout
+signals, and ``AbortSignal.any`` composition.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Awaitable, Callable, Iterable, List, Optional, TypeVar
+
+
+class AbortError(Exception):
+    """Raised when an operation is aborted."""
+
+    name = "AbortError"
+
+    def __init__(self, message: str = "Operation aborted", reason: Any = None):
+        super().__init__(message)
+        self.reason = reason
+
+
+class AbortSignal:
+    def __init__(self) -> None:
+        self._aborted = False
+        self._reason: Any = None
+        self._listeners: List[Callable[[], None]] = []
+        self._event: Optional[asyncio.Event] = None
+
+    @property
+    def aborted(self) -> bool:
+        return self._aborted
+
+    @property
+    def reason(self) -> Any:
+        return self._reason
+
+    def add_listener(self, callback: Callable[[], None],
+                     once: bool = True) -> None:
+        """Register an abort listener (fired synchronously; listeners are
+        one-shot, matching DOM ``{once: true}`` usage in the reference)."""
+        if self._aborted:
+            callback()
+            return
+        self._listeners.append(callback)
+
+    def remove_listener(self, callback: Callable[[], None]) -> None:
+        if callback in self._listeners:
+            self._listeners.remove(callback)
+
+    def throw_if_aborted(self) -> None:
+        if self._aborted:
+            raise AbortError(reason=self._reason)
+
+    def _do_abort(self, reason: Any = None) -> None:
+        if self._aborted:
+            return
+        self._aborted = True
+        self._reason = reason
+        listeners, self._listeners = self._listeners, []
+        for cb in listeners:
+            cb()
+        if self._event is not None:
+            self._event.set()
+
+    async def wait(self) -> None:
+        """Await until this signal aborts (never resolves otherwise)."""
+        if self._aborted:
+            return
+        if self._event is None:
+            self._event = asyncio.Event()
+            if self._aborted:  # abort raced with event creation
+                self._event.set()
+        await self._event.wait()
+
+    @staticmethod
+    def timeout(ms: float) -> "AbortSignal":
+        """Signal that aborts after ``ms`` milliseconds
+        (DOM ``AbortSignal.timeout`` analog, xmodem.ts:536)."""
+        signal = AbortSignal()
+        loop = asyncio.get_running_loop()
+        handle = loop.call_later(
+            ms / 1000.0, lambda: signal._do_abort(TimeoutError("timeout")))
+        # Cancel the timer once aborted from elsewhere (no-op if it fired).
+        signal.add_listener(handle.cancel)
+        return signal
+
+    @staticmethod
+    def any(signals: Iterable["AbortSignal"]) -> "AbortSignal":
+        """Composite signal aborting when any child aborts
+        (DOM ``AbortSignal.any`` analog, xmodem.ts:542)."""
+        combined = AbortSignal()
+        for s in signals:
+            if s.aborted:
+                combined._do_abort(s.reason)
+                return combined
+        for s in signals:
+            s.add_listener(lambda s=s: combined._do_abort(s.reason))
+        return combined
+
+
+class AbortController:
+    def __init__(self) -> None:
+        self.signal = AbortSignal()
+
+    def abort(self, reason: Any = None) -> None:
+        self.signal._do_abort(reason)
+
+
+T = TypeVar("T")
+
+
+async def race_abort(awaitable: Awaitable[T],
+                     signal: Optional[AbortSignal]) -> T:
+    """Run ``awaitable``, raising AbortError as soon as ``signal`` aborts.
+
+    The analog of the reference's promise-vs-abort races
+    (fsk-processor.ts:98-110, webaudio-data-channel.ts:102-126).
+    The losing task is cancelled.
+    """
+    if signal is None:
+        return await awaitable
+    signal.throw_if_aborted()
+    task = asyncio.ensure_future(awaitable)
+    abort_task = asyncio.ensure_future(signal.wait())
+    try:
+        done, _ = await asyncio.wait(
+            {task, abort_task}, return_when=asyncio.FIRST_COMPLETED)
+        if task in done:
+            return task.result()
+        raise AbortError(reason=signal.reason)
+    finally:
+        for t in (task, abort_task):
+            if not t.done():
+                t.cancel()
+                try:
+                    await t
+                except (asyncio.CancelledError, Exception):
+                    pass
