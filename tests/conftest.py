@@ -7,8 +7,14 @@ The benchmark (bench.py) runs on the real TPU and does not import this.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize hook imports jax before conftest runs, so the
+# env var alone is not enough — force the platform via the config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,297 @@
+"""Batched TPU demodulator tests, differential against the golden model.
+
+Mirrors the reference suite (tests/modems/fsk-demodulation.node.test.ts,
+fsk-false-positive.node.test.ts, fsk-preamble-robustness.node.test.ts,
+fsk-sfd.node.test.ts) with the golden scalar model as the bit-exact
+comparator where the reference asserts exact behavior.
+"""
+
+import numpy as np
+import pytest
+
+from webaudio_modem_tpu.golden import GoldenFSK
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKConfig
+from webaudio_modem_tpu.models.fsk import FSKCore
+
+
+def add_noise(signal, snr_db, rng):
+    power = float(np.mean(signal.astype(np.float64) ** 2))
+    noise_power = power / (10 ** (snr_db / 10))
+    amp = np.sqrt(3 * noise_power)
+    noise = amp * (rng.uniform(size=len(signal)) * 2 - 1)
+    return (signal + noise).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def core():
+    return FSKCore(DEFAULT_FSK_CONFIG)
+
+
+@pytest.fixture(autouse=True)
+def _reset(core):
+    core.configure(DEFAULT_FSK_CONFIG)
+
+
+class TestRoundTrip:
+    def test_exact_match_single_sync(self, core):
+        # reference fsk-demodulation.node.test.ts:81-106
+        data = b"AB"
+        out = core.demodulate_data(core.modulate_data(data))
+        assert out == data
+        assert core.get_status()["sync_detections"] == 1
+
+    def test_hello_world(self, core):
+        data = b"Hello, World!"
+        assert core.demodulate_data(core.modulate_data(data)) == data
+
+    def test_all_byte_values(self, core):
+        data = bytes([0x00, 0xFF, 0x55, 0xAA, 0x7E, 0x01, 0x80])
+        assert core.demodulate_data(core.modulate_data(data)) == data
+
+    @pytest.mark.parametrize("baud", [300, 1200])
+    def test_baud_rates(self, baud):
+        c = FSKCore(FSKConfig(baud_rate=baud))
+        data = b"\x48"
+        assert c.demodulate_data(c.modulate_data(data)) == data
+
+    @pytest.mark.parametrize("mark,space", [(1650, 1850), (2125, 2295)])
+    def test_frequency_pairs(self, mark, space):
+        c = FSKCore(FSKConfig(mark_frequency=mark, space_frequency=space))
+        data = b"\x48"
+        assert c.demodulate_data(c.modulate_data(data)) == data
+
+    def test_bell103_polarity(self):
+        # BASELINE config 1: mark 1270 > space 1070
+        c = FSKCore(FSKConfig(baud_rate=300, mark_frequency=1270,
+                              space_frequency=1070))
+        data = b"Hello, World!"
+        assert c.demodulate_data(c.modulate_data(data)) == data
+
+
+class TestGoldenDifferential:
+    """Decoded bytes must match the bit-exact golden comparator."""
+
+    @pytest.mark.parametrize("data", [b"\x00", b"\xff", b"Hello, World!",
+                                      bytes(range(32))])
+    def test_clean_signal(self, core, data):
+        sig = core.modulate_data(data)
+        golden = GoldenFSK(DEFAULT_FSK_CONFIG)
+        assert core.demodulate_data(sig) == golden.demodulate(sig)
+
+    def test_noisy_signal_25db(self, core):
+        rng = np.random.RandomState(7)
+        sig = add_noise(core.modulate_data(b"\x12\x34\x56"), 25, rng)
+        golden = GoldenFSK(DEFAULT_FSK_CONFIG)
+        assert core.demodulate_data(sig) == golden.demodulate(sig)
+
+    def test_sync_and_eod_counters_match(self, core):
+        data = b"\x11"
+        sig = core.modulate_data(data)
+        gap = np.zeros(4800, np.float32)
+        stream = np.concatenate([sig, gap, sig])
+        golden = GoldenFSK(DEFAULT_FSK_CONFIG)
+        out_t = core.demodulate_data(stream)
+        out_g = golden.demodulate(stream)
+        assert out_t == out_g == data * 2
+        st = core.get_status()
+        assert st["sync_detections"] == golden.sync_detections
+        assert st["eod_events"] == golden.eod_events
+
+
+class TestChunkedStreaming:
+    def test_chunked_128_equals_whole(self, core):
+        # reference fsk-demodulation.node.test.ts:363-398
+        data = b"Hello"
+        sig = core.modulate_data(data)
+        whole = core.demodulate_data(sig)
+        core.configure(DEFAULT_FSK_CONFIG)
+        chunked = b""
+        for i in range(0, len(sig), 128):
+            chunked += core.demodulate_data(sig[i:i + 128])
+        assert whole == data
+        assert chunked == data
+
+    @pytest.mark.parametrize("chunk", [32, 64, 128, 256])
+    def test_chunk_sizes(self, core, chunk):
+        # reference fsk-demodulation.node.test.ts:718-753
+        data = b"CS"
+        sig = core.modulate_data(data)
+        out = b""
+        for i in range(0, len(sig), chunk):
+            out += core.demodulate_data(sig[i:i + chunk])
+        assert out == data
+
+    @pytest.mark.parametrize("offset", [0, 1, 7, 31, 63, 64, 65, 97, 127])
+    def test_start_offsets(self, core, offset):
+        # reference fsk-demodulation.node.test.ts:668-716 runs all 128
+        # offsets; a representative spread (incl. odd/even parity around
+        # the downsample boundary) keeps CI fast — bench covers the rest.
+        data = b"OF"
+        sig = core.modulate_data(data)
+        padded = np.concatenate([np.zeros(offset, np.float32), sig])
+        out = b""
+        for i in range(0, len(padded), 128):
+            out += core.demodulate_data(padded[i:i + 128])
+        assert out == data
+
+    def test_silence_prefix(self, core):
+        # reference fsk-demodulation.node.test.ts:400-437
+        data = b"\x42"
+        sig = core.modulate_data(data)
+        padded = np.concatenate([np.zeros(1000, np.float32), sig])
+        assert core.demodulate_data(padded) == data
+
+    def test_multi_transmission_with_gaps(self, core):
+        # reference fsk-demodulation.node.test.ts:854-925
+        eods = []
+        core.on("eod", lambda ev: eods.append(1))
+        gap = np.zeros(4800, np.float32)
+        sig1 = core.modulate_data(b"\x11")
+        sig2 = core.modulate_data(b"\x22")
+        stream = np.concatenate([sig1, gap, sig2, gap])
+        out = core.demodulate_data(stream)
+        assert out == b"\x11\x22"
+        assert core.get_status()["sync_detections"] == 2
+        assert len(eods) >= 2  # per-frame EOD (fsk-sfd.node.test.ts:139-159)
+
+    def test_no_accumulation_across_calls(self, core):
+        # reference fsk-false-positive.node.test.ts:208-243
+        for _ in range(5):
+            assert core.demodulate_data(np.zeros(4800, np.float32)) == b""
+
+
+class TestRobustness:
+    def test_noise_30db_exact(self, core):
+        # reference fsk-demodulation.node.test.ts:182-197
+        rng = np.random.RandomState(1234)
+        data = b"\x48\x65\x6c"
+        noisy = add_noise(core.modulate_data(data), 30, rng)
+        assert core.demodulate_data(noisy) == data
+
+    def test_noise_20db_best_effort(self, core):
+        # reference fsk-demodulation.node.test.ts:199-215
+        rng = np.random.RandomState(5678)
+        data = b"\x48"
+        noisy = add_noise(core.modulate_data(data), 20, rng)
+        out = core.demodulate_data(noisy)
+        if out:  # correctness required only if decoded
+            assert data in out or out in data or len(out) <= len(data) + 1
+
+    @pytest.mark.parametrize("scale", [0.1, 0.3])
+    def test_low_amplitude_agc(self, core, scale):
+        # reference fsk-demodulation.node.test.ts:217-259
+        data = b"\x42"
+        sig = (core.modulate_data(data) * scale).astype(np.float32)
+        assert core.demodulate_data(sig) == data
+
+    def test_dc_offset(self, core):
+        # reference fsk-demodulation.node.test.ts:493-521
+        data = b"\x42"
+        sig = (core.modulate_data(data) * 0.3 + 0.2).astype(np.float32)
+        assert core.demodulate_data(sig) == data
+
+
+class TestFalsePositives:
+    # reference fsk-false-positive.node.test.ts
+    def test_silence(self, core):
+        assert core.demodulate_data(np.zeros(48000, np.float32)) == b""
+        assert core.get_status()["sync_detections"] == 0
+
+    def test_dc(self, core):
+        assert core.demodulate_data(np.full(48000, 0.5, np.float32)) == b""
+
+    def test_off_band_tone(self, core):
+        t = np.arange(48000) / 48000.0
+        tone = np.sin(2 * np.pi * 400 * t).astype(np.float32)
+        assert core.demodulate_data(tone) == b""
+
+    def test_square_wave(self, core):
+        t = np.arange(48000)
+        square = np.where((t // 100) % 2 == 0, 0.8, -0.8).astype(np.float32)
+        assert core.demodulate_data(square) == b""
+
+    def test_random_noise_at_most_one_byte(self, core):
+        rng = np.random.RandomState(42)
+        noise = rng.uniform(-1, 1, 48000).astype(np.float32)
+        assert len(core.demodulate_data(noise)) <= 1
+
+
+class TestPreambleRobustness:
+    # reference fsk-preamble-robustness.node.test.ts — 25/50% truncation
+    # is best-effort ("if decoded, must be correct"); 75% must fail.
+    def _truncate_preamble(self, core, data, frac):
+        # reference truncates from the very start of the signal by a
+        # fraction of the preamble+SFD length (:14-40)
+        sig = core.modulate_data(data)
+        sync_len = ((len(DEFAULT_FSK_CONFIG.preamble_pattern)
+                     + len(DEFAULT_FSK_CONFIG.sfd_pattern))
+                    * core.params.bits_per_byte * core.params.samples_per_bit)
+        return sig[int(sync_len * frac):]
+
+    @pytest.mark.parametrize("frac", [0.25, 0.5])
+    def test_partial_truncation_best_effort(self, core, frac):
+        data = b"\x48"
+        truncated = self._truncate_preamble(core, data, frac)
+        out = core.demodulate_data(truncated)
+        if out:
+            assert out[0:1] == data
+        # differential: must agree with the golden comparator either way
+        golden = GoldenFSK(DEFAULT_FSK_CONFIG)
+        assert out == golden.demodulate(truncated)
+
+    def test_preamble_75pct_truncation_fails(self, core):
+        # 75% truncation must yield 0 bytes (:65-84)
+        out = core.demodulate_data(self._truncate_preamble(core, b"\x48",
+                                                           0.75))
+        assert out == b""
+
+    def test_back_to_back_frames(self, core):
+        sig1 = core.modulate_data(b"\x11")
+        sig2 = core.modulate_data(b"\x22")
+        out = core.demodulate_data(np.concatenate([sig1, sig2]))
+        assert out == b"\x11\x22"
+
+
+class TestSFDSemantics:
+    # reference fsk-sfd.node.test.ts
+    def test_preamble_sfd_bytes_as_data(self, core):
+        data = bytes([0x55, 0x7E, 0x55, 0x7E])
+        assert core.demodulate_data(core.modulate_data(data)) == data
+        assert core.get_status()["sync_detections"] == 1
+
+    def test_no_false_resync_on_indata_preamble(self, core):
+        data = bytes([0x55] * 8)
+        assert core.demodulate_data(core.modulate_data(data)) == data
+        assert core.get_status()["sync_detections"] == 1
+
+
+class TestDeterminism:
+    def test_repeated_runs_identical(self):
+        # reference fsk-demodulation.node.test.ts:755-790
+        data = b"det"
+        outs = []
+        for _ in range(3):
+            c = FSKCore(DEFAULT_FSK_CONFIG)
+            outs.append(c.demodulate_data(c.modulate_data(data)))
+        assert outs[0] == outs[1] == outs[2] == data
+
+
+class TestBatched:
+    def test_batch_matches_single(self):
+        # dual-instance concurrency analog
+        # (fsk-demodulation.node.test.ts:792-852): B channels in one
+        # batched call must each decode independently.
+        import jax.numpy as jnp
+
+        from webaudio_modem_tpu.models.config import FSKParams
+        from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        msgs = [b"aa", b"bb", b"cc", b"dd"]
+        batch = fsk_mod.modulate_batch(params, msgs)
+        state = fsk_demod.init_state(params, batch=len(msgs))
+        step = fsk_demod.make_demod_chunk(params, 0, donate=False)
+        state, out = step(state, batch)
+        for i, m in enumerate(msgs):
+            n = int(out.byte_count[i])
+            assert bytes(np.asarray(out.bytes_out[i][:n])) == m

@@ -1,0 +1,70 @@
+"""Batched modulator tests (reference tests/modems/fsk-modulation.node.test.ts)."""
+
+import numpy as np
+import pytest
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+from webaudio_modem_tpu.ops import fsk_mod
+
+PARAMS = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+
+
+def test_signal_length_formula():
+    # reference fsk-modulation.node.test.ts:75-109
+    for n in (0, 1, 5, 13):
+        sig = fsk_mod.modulate(PARAMS, bytes(n))
+        assert len(sig) == fsk_mod.signal_length(PARAMS, n)
+
+
+def test_amplitude_bounds():
+    # reference fsk-modulation.node.test.ts:110-121
+    sig = fsk_mod.modulate(PARAMS, b"\x55")
+    assert sig.max() <= 1.1
+    assert sig.min() >= -1.1
+    assert sig.max() > 0.8
+    assert sig.min() < -0.8
+
+
+@pytest.mark.parametrize("data", [b"\x3c", b"\x0f", b"\xf0"])
+def test_phase_continuity(data):
+    # reference fsk-modulation.node.test.ts:126-161
+    sig = fsk_mod.modulate(PARAMS, data)
+    assert np.abs(np.diff(sig.astype(np.float64))).max() < 0.5
+
+
+def test_leading_padding_and_trailing_silence():
+    sig = fsk_mod.modulate(PARAMS, b"\x42")
+    pad = PARAMS.samples_per_bit * 2
+    silence = PARAMS.bits_per_byte * PARAMS.samples_per_bit
+    assert np.all(sig[:pad] == 0)
+    assert np.all(sig[-silence:] == 0)
+    assert np.abs(sig[pad:pad + 100]).max() > 0.5
+
+
+def test_matches_golden_modulator():
+    # The batched DDS must produce (near) sample-identical output to the
+    # scalar golden modulator: same phase law, different evaluation order.
+    from webaudio_modem_tpu.golden import GoldenFSK
+
+    g = GoldenFSK(DEFAULT_FSK_CONFIG)
+    data = b"Hello, World!"
+    ref = g.modulate(data)
+    sig = fsk_mod.modulate(PARAMS, data)
+    assert sig.shape == ref.shape
+    np.testing.assert_allclose(sig, ref, atol=2e-4)
+
+
+def test_batch_modulation_matches_single():
+    msgs = [b"abc", b"xyz"]
+    batch = np.asarray(fsk_mod.modulate_batch(PARAMS, msgs))
+    for i, m in enumerate(msgs):
+        np.testing.assert_array_equal(batch[i], fsk_mod.modulate(PARAMS, m))
+
+
+def test_different_patterns_differ_but_same_length():
+    # reference fsk-modulation.node.test.ts:137-161
+    s1 = fsk_mod.modulate(PARAMS, b"\x0f")
+    s2 = fsk_mod.modulate(PARAMS, b"\xf0")
+    assert len(s1) == len(s2)
+    diff_frac = np.mean(np.abs(s1 - s2) > 0.1)
+    assert diff_frac > 0.10

@@ -1,3 +1,144 @@
-"""FSKCore — placeholder, implemented after the demod kernel."""
+"""FSKCore — single-channel host facade over the batched TPU kernels.
 
-FSKCore = None
+The public surface mirrors the reference FSKCore
+(src/modems/fsk.ts:82-494): ``configure`` / ``modulate_data`` /
+``demodulate_data`` / ``reset`` / ``get_status`` / ``get_signal_quality``
+with identical stream-chunking semantics.  Internally it is a B=1 view
+of the same jitted kernels that power the 4096-channel ModemFarm —
+there is exactly one compute path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from webaudio_modem_tpu.core import IModulator, SignalQuality
+from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG, FSKConfig,
+                                              FSKParams)
+from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+
+
+class FSKCore(IModulator):
+    name = "FSK"
+    type = "FSK"
+
+    def __init__(self, config: Optional[FSKConfig] = None):
+        super().__init__()
+        self._config: Optional[FSKConfig] = None
+        self.params: Optional[FSKParams] = None
+        self._state = None
+        self._ds_phase = 0
+        self._threshold_carry = None  # persists across configure (fsk.ts:128)
+        if config is not None:
+            self.configure(config)
+
+    # -- configuration (fsk.ts:133-157) -----------------------------------
+
+    def configure(self, config: FSKConfig) -> None:
+        if isinstance(config, dict):
+            config = FSKConfig.from_dict(config)
+        self._config = config
+        self.params = FSKParams.from_config(config)
+        self._init_state()
+        self._ready = True
+        self.emit("configured")
+
+    def _init_state(self) -> None:
+        import jax.numpy as jnp
+
+        self._state = fsk_demod.init_state(self.params, batch=1)
+        if self._threshold_carry is not None:
+            # reference quirk: silence.threshold is a constructor-time
+            # field not reset by configure (fsk.ts:128)
+            self._state = self._state._replace(
+                threshold=jnp.full((1,), self._threshold_carry, jnp.float32))
+        self._ds_phase = 0
+
+    def get_config(self) -> FSKConfig:
+        return self._config
+
+    # -- modulation ---------------------------------------------------------
+
+    def modulate_data(self, data) -> np.ndarray:
+        if not self._ready:
+            raise RuntimeError("FSK modulator not configured")
+        return fsk_mod.modulate(self.params, bytes(data))
+
+    # -- demodulation -------------------------------------------------------
+
+    def demodulate_data(self, samples) -> bytes:
+        if not self._ready:
+            raise RuntimeError("FSK demodulator not configured")
+        samples = np.asarray(samples, dtype=np.float32)
+        if samples.ndim != 1:
+            raise ValueError("demodulate_data expects a 1-D sample array")
+        if len(samples) == 0:
+            return b""
+        # Split arbitrary chunk lengths into power-of-two pieces so the
+        # jit cache stays bounded (~2*log2(maxT) programs per config)
+        # while state carry keeps results identical to a single call.
+        result = bytearray()
+        offset = 0
+        n = len(samples)
+        while offset < n:
+            remaining = n - offset
+            piece = 1 << (remaining.bit_length() - 1)  # largest pow2 <= rem
+            step = fsk_demod.make_demod_chunk(self.params, self._ds_phase)
+            self._state, out = step(self._state,
+                                    samples[None, offset:offset + piece])
+            self._ds_phase = (self._ds_phase + piece) \
+                % self.params.downsample_ratio
+            count = int(out.byte_count[0])
+            if count:
+                result += bytes(np.asarray(out.bytes_out[0][:count]))
+            for _ in range(int(out.eod_fired[0])):
+                self.emit("eod")
+            offset += piece
+        self._threshold_carry = float(self._state.threshold[0])
+        return bytes(result)
+
+    # -- state management (fsk.ts:464-469) ---------------------------------
+
+    def reset(self) -> None:
+        if self.params is not None:
+            threshold = self._threshold_carry
+            self._threshold_carry = None
+            self._init_state()
+            if threshold is not None:
+                # reset() does not clear silence.threshold either
+                import jax.numpy as jnp
+                self._threshold_carry = threshold
+                self._state = self._state._replace(
+                    threshold=jnp.full((1,), threshold, jnp.float32))
+        self.emit("reset")
+
+    # -- observability ------------------------------------------------------
+
+    def get_status(self) -> dict:
+        s = self._state
+        return {
+            "ready": self._ready,
+            "frame_started": bool(s.started[0]) if s is not None else False,
+            "global_sample_counter": int(s.counter[0]) if s is not None else 0,
+            "sync_detections": int(s.sync_count[0]) if s is not None else 0,
+            "eod_events": int(s.eod_count[0]) if s is not None else 0,
+            "silence_threshold": float(s.threshold[0])
+            if s is not None else 0.01,
+        }
+
+    def get_signal_quality(self) -> SignalQuality:
+        # Implemented for real (the reference declares-but-stubs this,
+        # fsk.ts:471-479): SNR from the carried amplitude window.
+        if self._state is None:
+            return SignalQuality()
+        amps = np.asarray(self._state.amp_tail[0])
+        active = amps[amps > float(self._state.threshold[0])]
+        if len(active) < 8:
+            return SignalQuality()
+        mean = float(active.mean())
+        std = float(active.std())
+        snr = 10 * np.log10((mean ** 2) / (std ** 2 + 1e-12))
+        return SignalQuality(snr=float(snr), eye_opening=float(
+            np.clip(1.0 - 2.0 * std / (mean + 1e-12), 0.0, 1.0)))

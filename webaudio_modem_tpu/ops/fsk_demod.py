@@ -1,0 +1,531 @@
+"""Batched streaming FSK demodulator — the core TPU kernel pipeline.
+
+Re-architecture of the reference per-sample demod chain
+(FSKCore.demodulateData / processSample / processDownsampledBit /
+processByte, src/modems/fsk.ts:190-375) as four stages over [B, T]
+channel-batched sample frames with an explicit carried state pytree
+(``DemodState``) — chunk calls of arbitrary size produce identical
+results to one whole-signal call, like the reference's stream contract
+(src/core.ts:99-102).
+
+Stage map (reference -> here):
+  A. full-rate sequential stage  — AGC (fsk.ts:52-76), Butterworth
+     band-pass pre-filter (fsk.ts:199-202), NCO quadrature mix
+     (fsk.ts:228-232), I/Q low-pass biquads (fsk.ts:235-238).  These are
+     true per-sample recurrences (AGC is nonlinear feedback), so they
+     run as ONE fused ``lax.scan`` over time, vectorized across the
+     channel batch — throughput comes from B, not T.  A Pallas TPU
+     kernel implementing the same stage lives in ops/pallas/.
+  B. downsample-rate parallel stage — 2x average (fsk.ts:240-248),
+     atan2 phase / amplitude (fsk.ts:251-252), wrapped phase-difference
+     discriminator (fsk.ts:255-258): all elementwise-parallel.  The
+     post low-pass (fsk.ts:261) is a linear biquad scan.  The slicer
+     (fsk.ts:264) applies the analytic ``polarity`` so mark>space
+     configurations decode (bit-exact with the reference for
+     mark<space, which is every configuration its tests exercise).
+  C. frame-sync correlation — the reference correlates the framed
+     preamble+SFD bit pattern against a ring buffer per ¼-bit position
+     inside the hot loop (fsk.ts:297-315, O(pattern·dsPerBit) per
+     check).  Here the match count for EVERY position is computed at
+     once as a 2-channel 1-D convolution (im2col -> MXU matmul), using
+     the identity  eq(b,q) = 1 - b - q + 2bq  so one conv channel
+     carries Σ b·q and the other Σ b.  The reference's off-by-one
+     (``preambleSfdBits[patternBits - j]`` is out-of-bounds for j==0,
+     so the newest bit-block never matches but still counts toward the
+     total — fsk.ts:306-307) is reproduced by zeroing that block in the
+     kernel's valid mask.  The rolling amplitude mean used for the
+     adaptive silence threshold (fsk.ts:321-326) is a cumsum window.
+  D. framing state machine — silence EOD (fsk.ts:284-295), sync firing
+     (fsk.ts:315-327), majority-vote bit decisions (fsk.ts:330-341) and
+     UART byte assembly (fsk.ts:346-375) as a branchless integer
+     ``lax.scan`` at the downsampled rate reading the precomputed
+     bit/amplitude/ratio/mean streams.  Byte outputs are emitted as a
+     (value, valid) pair per step and compacted by scatter.
+
+Known, deliberate divergence: the reference's ``resetState`` on EOD or
+start-bit failure also resets the NCO and I/Q + post filters mid-stream
+(fsk.ts:175-188).  Those resets happen during silence (filter states
+already decayed) or drop-frame conditions, and the demod decision is a
+phase *difference*, so decoded bytes are unaffected; stage A therefore
+does not thread a data-dependent reset back into its scan.  Verified
+against the golden scalar model by the differential test-suite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from webaudio_modem_tpu.models.config import FSKParams
+
+_TWO_PI = 2.0 * np.pi
+
+
+class DemodState(NamedTuple):
+    """Carried demodulator state, one entry per channel [B] unless noted.
+
+    Mirrors the reference's instance state (fsk.ts:102-131) plus the
+    carried windows that replace its ring buffers (fsk.ts:147-150).
+    """
+
+    # stage A — DSP recurrences
+    agc_gain: jax.Array        # f32 [B]   (AGCProcessor.currentGain)
+    pre: Tuple[jax.Array, ...]   # 4 x f32 [B] biquad x1,x2,y1,y2
+    phi: jax.Array             # f32 [B]   NCO phase (iqState.localOscPhase)
+    iq_i: Tuple[jax.Array, ...]  # 4 x f32 [B]
+    iq_q: Tuple[jax.Array, ...]  # 4 x f32 [B]
+    ds_iacc: jax.Array         # f32 [B]   pending downsample accumulators
+    ds_qacc: jax.Array         # f32 [B]
+    # stage B
+    last_phase: jax.Array      # f32 [B]   (iqState.lastPhase)
+    post: Tuple[jax.Array, ...]  # 4 x f32 [B]
+    # stage C — carried windows + fill counters
+    bit_tail: jax.Array        # f32 [B, W]  last W sliced bits
+    amp_tail: jax.Array        # f32 [B, A]  last A amplitudes
+    bit_fill: jax.Array        # i32 [B]  bits seen since configure/reset
+    amp_fill: jax.Array        # i32 [B]  amps seen since configure
+    # stage D — framing state machine
+    started: jax.Array         # bool [B] (frame.started)
+    counter: jax.Array         # i32 [B]  (bitSync.globalSampleCounter)
+    sil: jax.Array             # i32 [B]  (silence.sampleCount)
+    threshold: jax.Array       # f32 [B]  (silence.threshold)
+    accum: jax.Array           # i32 [B]  (bitSync.bitAccumulator)
+    count: jax.Array           # i32 [B]  (bitSync.bitAccumCount)
+    bsc: jax.Array             # i32 [B]  (bitSync.bitSampleCounter)
+    next_idx: jax.Array        # i32 [B]  (bitSync.nextBitSampleIndex)
+    byte_cur: jax.Array        # i32 [B]  (byteState.current)
+    pos: jax.Array             # i32 [B]  (byteState.bitPosition)
+    # debug counters (getStatus, fsk.ts:481-493)
+    sync_count: jax.Array      # i32 [B]
+    eod_count: jax.Array       # i32 [B]
+
+
+class DemodOut(NamedTuple):
+    bytes_out: jax.Array       # u8  [B, MAXB] compacted decoded bytes
+    byte_count: jax.Array      # i32 [B]
+    sync_fired: jax.Array      # i32 [B] syncs detected in this chunk
+    eod_fired: jax.Array       # i32 [B] EOD events in this chunk
+    mean_amplitude: jax.Array  # f32 [B] mean I/Q amplitude (signal quality)
+
+
+def init_state(params: FSKParams, batch: int = 1) -> DemodState:
+    # Every leaf must be a distinct buffer: the jitted step donates the
+    # state, and donating aliased buffers is an error.
+    z = lambda: jnp.zeros((batch,), jnp.float32)  # noqa: E731
+    zi = lambda: jnp.zeros((batch,), jnp.int32)  # noqa: E731
+    zb = lambda: jnp.zeros((batch,), bool)  # noqa: E731
+    biq = lambda: (z(), z(), z(), z())  # noqa: E731
+    return DemodState(
+        agc_gain=jnp.ones((batch,), jnp.float32),
+        pre=biq(), phi=z(), iq_i=biq(), iq_q=biq(),
+        ds_iacc=z(), ds_qacc=z(),
+        last_phase=z(), post=biq(),
+        bit_tail=jnp.zeros((batch, params.sync_window), jnp.float32),
+        amp_tail=jnp.zeros((batch, params.amp_window), jnp.float32),
+        bit_fill=zi(), amp_fill=zi(),
+        started=zb(), counter=zi(), sil=zi(),
+        threshold=jnp.full((batch,), 0.01, jnp.float32),
+        accum=zi(), count=zi(), bsc=zi(), next_idx=zi(), byte_cur=zi(),
+        pos=zi(),
+        sync_count=zi(), eod_count=zi(),
+    )
+
+
+def max_bytes(params: FSKParams, n_ds: int) -> int:
+    """Upper bound on bytes decodable from ``n_ds`` downsampled steps.
+
+    A byte needs bits_per_byte bit decisions; after sync the first
+    decision takes 1 step and the rest ds_samples_per_bit each
+    (fsk.ts:335-339), so (bits_per_byte-1)*ds is a conservative
+    per-byte step floor."""
+    per_byte = (params.bits_per_byte - 1) * params.ds_samples_per_bit
+    return n_ds // max(per_byte, 1) + 2
+
+
+# ---------------------------------------------------------------------------
+# Stage A: fused full-rate scan
+# ---------------------------------------------------------------------------
+
+def _stage_a(params: FSKParams, state: DemodState, x):
+    """AGC + pre-filter + NCO mix + I/Q LPF over [B, T].
+
+    Returns (new stage-A state fields, i_f [B, T], q_f [B, T]).
+    """
+    pb0, pb1, pb2, pa1, pa2 = [jnp.float32(c) for c in params.pre_filter]
+    ib0, ib1, ib2, ia1, ia2 = [jnp.float32(c) for c in params.iq_filter]
+    omega = jnp.float32(_TWO_PI * params.center_freq / params.sample_rate)
+    two_pi = jnp.float32(_TWO_PI)
+    attack = jnp.float32(params.agc_attack)
+    release = jnp.float32(params.agc_release)
+    target = jnp.float32(params.agc_target)
+    agc_on = params.config.agc_enabled
+
+    def step(carry, xt):
+        g, (px1, px2, py1, py2), phi, \
+            (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2) = carry
+        if agc_on:
+            y = xt * g
+            level = jnp.abs(y)
+            tgt = target / jnp.maximum(level, jnp.float32(1e-30))
+            rate = jnp.where(level > target, attack, release)
+            g = jnp.where(level > 0,
+                          jnp.clip(g + (tgt - g) * rate,
+                                   jnp.float32(0.1), jnp.float32(10.0)),
+                          g)
+        else:
+            y = xt
+        # pre-filter biquad (DF-I)
+        f = pb0 * y + pb1 * px1 + pb2 * px2 - pa1 * py1 - pa2 * py2
+        px2, px1 = px1, y
+        py2, py1 = py1, f
+        # NCO quadrature mix
+        i_r = f * jnp.cos(phi)
+        q_r = f * jnp.sin(phi)
+        phi = jnp.mod(phi + omega, two_pi)
+        # I/Q low-pass biquads
+        fi = ib0 * i_r + ib1 * ix1 + ib2 * ix2 - ia1 * iy1 - ia2 * iy2
+        ix2, ix1 = ix1, i_r
+        iy2, iy1 = iy1, fi
+        fq = ib0 * q_r + ib1 * qx1 + ib2 * qx2 - ia1 * qy1 - ia2 * qy2
+        qx2, qx1 = qx1, q_r
+        qy2, qy1 = qy1, fq
+        return (g, (px1, px2, py1, py2), phi,
+                (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2)), (fi, fq)
+
+    carry0 = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
+    carry, (iT, qT) = jax.lax.scan(step, carry0, jnp.moveaxis(x, -1, 0))
+    return carry, jnp.moveaxis(iT, 0, -1), jnp.moveaxis(qT, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Stage B helpers
+# ---------------------------------------------------------------------------
+
+def _downsample(params: FSKParams, ds_phase: int, state: DemodState,
+                i_f, q_f):
+    """2x averaging downsample with carried accumulators (fsk.ts:240-248).
+
+    ds_phase (static): samples already in the accumulator (0..ratio-1);
+    tracked host-side since it is data-independent.
+    Returns (avg_i [B, n_ds], avg_q, new_iacc, new_qacc).
+    """
+    ratio = params.downsample_ratio
+    T = i_f.shape[-1]
+    parts_i, parts_q = [], []
+    if ds_phase > 0:
+        need = ratio - ds_phase
+        if T < need:  # chunk too short to complete the pending group
+            return (i_f[..., :0], q_f[..., :0],
+                    state.ds_iacc + i_f.sum(-1),
+                    state.ds_qacc + q_f.sum(-1))
+        k = need
+        parts_i.append((state.ds_iacc + i_f[..., :k].sum(-1))[..., None])
+        parts_q.append((state.ds_qacc + q_f[..., :k].sum(-1))[..., None])
+    else:
+        k = 0
+    n_pairs = (T - k) // ratio
+    if n_pairs:
+        body_i = i_f[..., k:k + n_pairs * ratio]
+        body_q = q_f[..., k:k + n_pairs * ratio]
+        parts_i.append(body_i.reshape(*body_i.shape[:-1], n_pairs, ratio)
+                       .sum(-1))
+        parts_q.append(body_q.reshape(*body_q.shape[:-1], n_pairs, ratio)
+                       .sum(-1))
+    leftover = T - k - n_pairs * ratio
+    if parts_i:
+        avg_i = jnp.concatenate(parts_i, -1) / ratio
+        avg_q = jnp.concatenate(parts_q, -1) / ratio
+    else:
+        avg_i = i_f[..., :0]
+        avg_q = q_f[..., :0]
+    if leftover:
+        new_iacc = i_f[..., -leftover:].sum(-1)
+        new_qacc = q_f[..., -leftover:].sum(-1)
+    else:
+        new_iacc = jnp.zeros_like(state.ds_iacc)
+        new_qacc = jnp.zeros_like(state.ds_qacc)
+    return avg_i, avg_q, new_iacc, new_qacc
+
+
+def _phase_discriminator(params: FSKParams, state: DemodState,
+                         avg_i, avg_q):
+    """atan2 + wrapped diff + post-LPF + polarity slicer (fsk.ts:251-264)."""
+    cur = jnp.arctan2(avg_q, avg_i)
+    amp = jnp.sqrt(avg_i * avg_i + avg_q * avg_q)
+    prev = jnp.concatenate([state.last_phase[..., None], cur[..., :-1]], -1)
+    diff = cur - prev
+    pi = jnp.float32(np.pi)
+    diff = jnp.where(diff > pi, diff - 2 * pi,
+                     jnp.where(diff < -pi, diff + 2 * pi, diff))
+    b0, b1, b2, a1, a2 = [jnp.float32(c) for c in params.post_filter]
+
+    def step(carry, d):
+        x1, x2, y1, y2 = carry
+        y = b0 * d + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+        return (d, x1, y, y1), y
+
+    post_state, fT = jax.lax.scan(step, state.post,
+                                  jnp.moveaxis(diff, -1, 0))
+    filt = jnp.moveaxis(fT, 0, -1)
+    bits = (jnp.float32(params.polarity) * filt > 0).astype(jnp.float32)
+    return bits, amp, cur[..., -1], post_state
+
+
+# ---------------------------------------------------------------------------
+# Stage C: parallel sync correlation + amplitude window
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _sync_kernel(params: FSKParams) -> Tuple[np.ndarray, float, float]:
+    """Build the 2-channel correlation kernel.
+
+    Window position w (0 = oldest) maps to offset-from-newest
+    o = W-1-w; the reference compares offset o against
+    pattern[n_pat - o//ds], out-of-bounds (never matching) for o < ds
+    (fsk.ts:306-307).
+    Returns (kernel [2, 1, W], n_valid, sum_q).
+    """
+    ds = params.ds_samples_per_bit
+    n_pat = len(params.pattern_bits)
+    W = params.sync_window
+    q = np.zeros(W, np.float32)
+    valid = np.zeros(W, np.float32)
+    for w in range(W):
+        o = W - 1 - w
+        j = o // ds
+        if j != 0:  # j == 0 block: OOB pattern index, never matches
+            q[w] = params.pattern_bits[n_pat - j]
+            valid[w] = 1.0
+    kernel = np.stack([q * valid, valid])[:, None, :]  # [2, 1, W]
+    return kernel, float(valid.sum()), float((q * valid).sum())
+
+
+def _sync_ratios(params: FSKParams, ext_bits):
+    """Match ratio for every new downsampled position.
+
+    ext_bits: [B, W + n_ds] (W carried tail + new bits).
+    Returns ratio [B, n_ds] — identical values to the reference's
+    per-position matched/total computation (fsk.ts:302-314).
+    """
+    kernel_np, n_valid, sum_q = _sync_kernel(params)
+    kernel = jnp.asarray(kernel_np)
+    out = jax.lax.conv_general_dilated(
+        ext_bits[:, None, :], kernel, window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
+    c_bq = out[:, 0, 1:]   # Σ bit·pattern over valid window positions
+    s_b = out[:, 1, 1:]    # Σ bit over valid window positions
+    matched = n_valid - s_b - sum_q + 2.0 * c_bq
+    return matched / params.sync_window
+
+
+def _amp_means(params: FSKParams, state: DemodState, ext_amps, n_ds: int):
+    """Rolling mean of the last ``amp_window`` amplitudes at each new
+    position (divisor = current fill, mirroring ring-buffer length,
+    fsk.ts:322-326)."""
+    A = params.amp_window
+    csum = jnp.cumsum(
+        jnp.concatenate([jnp.zeros_like(ext_amps[:, :1]), ext_amps], -1),
+        axis=-1)
+    sums = csum[:, A + 1:] - csum[:, 1:n_ds + 1]          # [B, n_ds]
+    t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
+    fill = jnp.minimum(state.amp_fill[:, None] + t[None, :], A)
+    return sums / jnp.maximum(fill, 1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Stage D: framing state machine scan
+# ---------------------------------------------------------------------------
+
+def _stage_d(params: FSKParams, state: DemodState,
+             bits, amps, ratios, means, gate_fill):
+    """Branchless scan implementing fsk.ts:278-375 at downsampled rate.
+
+    All inputs [B, n_ds]; gate_fill is the precomputed
+    ``syncSamplesBuffer.length >= window`` condition (fsk.ts:302).
+    """
+    ds_per_bit = jnp.int32(params.ds_samples_per_bit)
+    quarter = jnp.int32(params.quarter_bit)
+    eod_after = jnp.float32(params.samples_for_eod)
+    sync_thr = jnp.float32(params.config.sync_threshold)
+    stop_pos = jnp.int32(params.stop_bit_position)
+    parity_on = params.config.parity != "none"
+
+    def step(carry, inp):
+        (started, counter, sil, thr, accum, count, bsc, nxt,
+         byte_cur, pos) = carry
+        bit, amp, ratio, mean, gate = inp
+        bit_i = bit.astype(jnp.int32)
+
+        counter1 = counter + 1
+        # silence EOD (fsk.ts:284-295)
+        is_sil = amp < thr
+        sil1 = jnp.where(is_sil, sil + 1, jnp.int32(0))
+        eod = is_sil & (sil1.astype(jnp.float32) >= eod_after)
+        alive = ~eod
+
+        # pre-sync: pattern check (fsk.ts:297-327)
+        pre = alive & ~started
+        can = pre & gate & (counter1 % quarter == 0)
+        fire = can & (ratio > sync_thr)
+
+        # post-sync: majority-vote bit accumulation (fsk.ts:330-341)
+        post = alive & started
+        accum1 = accum + bit_i
+        count1 = count + 1
+        bsc1 = bsc + 1
+        decide = post & (bsc1 >= nxt)
+        b = (2 * accum1) > count1          # bitAccumulator > count/2
+
+        # UART byte assembly (fsk.ts:346-375)
+        start_fail = decide & (pos == 0) & b
+        is_data = (pos >= 1) & (pos <= 8)
+        is_parity = parity_on & (pos == 9)
+        is_stop = pos == stop_pos
+        stop_fail = decide & is_stop & ~b
+        emit = decide & is_stop & b
+        bad = decide & ~((pos == 0) | is_data | is_parity | is_stop)
+        data_write = decide & is_data
+        shift = jnp.clip(8 - pos, 0, 8)  # masked when not is_data
+        byte1 = jnp.where(
+            data_write,
+            byte_cur | jnp.left_shift(b.astype(jnp.int32), shift),
+            byte_cur)
+
+        reset_full = eod | start_fail          # resetState (fsk.ts:175)
+        drop_frame = stop_fail | bad           # frame.started = false only
+
+        started2 = jnp.where(reset_full | drop_frame, False,
+                             jnp.where(fire, True, started))
+        counter2 = jnp.where(reset_full, jnp.int32(0), counter1)
+        sil2 = jnp.where(reset_full, jnp.int32(0), sil1)
+        thr2 = jnp.where(fire, mean * jnp.float32(0.1), thr)
+        clear = reset_full | fire
+        post_keep = post & ~reset_full
+        accum2 = jnp.where(clear, 0,
+                           jnp.where(post_keep,
+                                     jnp.where(decide, 0, accum1), accum))
+        count2 = jnp.where(clear, 0,
+                           jnp.where(post_keep,
+                                     jnp.where(decide, 0, count1), count))
+        bsc2 = jnp.where(clear, 0, jnp.where(post_keep, bsc1, bsc))
+        nxt2 = jnp.where(clear, 0,
+                         jnp.where(post_keep & decide, nxt + ds_per_bit,
+                                   nxt))
+        ok_advance = decide & ~(start_fail | stop_fail | bad)
+        byte2 = jnp.where(clear, 0,
+                          jnp.where(emit, 0,
+                                    jnp.where(data_write, byte1, byte_cur)))
+        pos2 = jnp.where(clear, 0,
+                         jnp.where(emit, 0,
+                                   jnp.where(ok_advance, pos + 1, pos)))
+
+        out = (byte_cur.astype(jnp.uint8), emit, eod, fire)
+        return (started2, counter2, sil2, thr2, accum2, count2, bsc2,
+                nxt2, byte2, pos2), out
+
+    carry0 = (state.started, state.counter, state.sil, state.threshold,
+              state.accum, state.count, state.bsc, state.next_idx,
+              state.byte_cur, state.pos)
+    inputs = tuple(jnp.moveaxis(a, -1, 0)
+                   for a in (bits, amps, ratios, means, gate_fill))
+    carry, (byte_vals, emits, eods, fires) = jax.lax.scan(
+        step, carry0, inputs)
+    return carry, (jnp.moveaxis(byte_vals, 0, -1),
+                   jnp.moveaxis(emits, 0, -1),
+                   jnp.moveaxis(eods, 0, -1),
+                   jnp.moveaxis(fires, 0, -1))
+
+
+# ---------------------------------------------------------------------------
+# Full chunk step
+# ---------------------------------------------------------------------------
+
+def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
+                samples) -> Tuple[DemodState, DemodOut]:
+    """Process one [B, T] sample frame, returning (state', outputs).
+
+    ``params`` and ``ds_phase`` are static; wrap with
+    ``make_demod_chunk`` for the jitted, donated entry point.
+    """
+    B, T = samples.shape
+    a_carry, i_f, q_f = _stage_a(params, state, samples)
+    agc_gain, pre, phi, iq_i, iq_q = a_carry
+
+    avg_i, avg_q, ds_iacc, ds_qacc = _downsample(
+        params, ds_phase, state, i_f, q_f)
+    n_ds = avg_i.shape[-1]
+    maxb = max_bytes(params, n_ds)
+
+    if n_ds == 0:
+        new_state = state._replace(
+            agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
+            ds_iacc=ds_iacc, ds_qacc=ds_qacc)
+        zi = jnp.zeros((B,), jnp.int32)
+        return new_state, DemodOut(
+            bytes_out=jnp.zeros((B, maxb), jnp.uint8),
+            byte_count=zi, sync_fired=zi, eod_fired=zi,
+            mean_amplitude=jnp.zeros((B,), jnp.float32))
+
+    bits, amps, last_phase, post_state = _phase_discriminator(
+        params, state, avg_i, avg_q)
+
+    ext_bits = jnp.concatenate([state.bit_tail, bits], -1)
+    ext_amps = jnp.concatenate([state.amp_tail, amps], -1)
+    ratios = _sync_ratios(params, ext_bits)
+    means = _amp_means(params, state, ext_amps, n_ds)
+    t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
+    gate_fill = (state.bit_fill[:, None] + t[None, :]) >= \
+        jnp.int32(params.sync_window)
+
+    d_carry, (byte_vals, emits, eods, fires) = _stage_d(
+        params, state, bits, amps, ratios, means, gate_fill)
+    (started, counter, sil, threshold, accum, count, bsc, next_idx,
+     byte_cur, pos) = d_carry
+
+    # compact (value, valid) pairs into dense byte rows
+    positions = jnp.cumsum(emits.astype(jnp.int32), axis=-1) - 1
+    flat_idx = jnp.where(
+        emits,
+        jnp.arange(B, dtype=jnp.int32)[:, None] * maxb + positions,
+        jnp.int32(B * maxb))
+    bytes_out = jnp.zeros((B * maxb,), jnp.uint8).at[
+        flat_idx.reshape(-1)].set(byte_vals.reshape(-1), mode="drop",
+                                  unique_indices=False).reshape(B, maxb)
+    byte_count = emits.astype(jnp.int32).sum(-1)
+    eod_fired = eods.astype(jnp.int32).sum(-1)
+    sync_fired = fires.astype(jnp.int32).sum(-1)
+
+    new_state = DemodState(
+        agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
+        ds_iacc=ds_iacc, ds_qacc=ds_qacc,
+        last_phase=last_phase, post=post_state,
+        bit_tail=ext_bits[:, -params.sync_window:],
+        amp_tail=ext_amps[:, -params.amp_window:],
+        bit_fill=jnp.minimum(state.bit_fill + n_ds,
+                             jnp.int32(2 ** 30)),
+        amp_fill=jnp.minimum(state.amp_fill + n_ds,
+                             jnp.int32(2 ** 30)),
+        started=started, counter=counter, sil=sil, threshold=threshold,
+        accum=accum, count=count, bsc=bsc, next_idx=next_idx,
+        byte_cur=byte_cur, pos=pos,
+        sync_count=state.sync_count + sync_fired,
+        eod_count=state.eod_count + eod_fired,
+    )
+    return new_state, DemodOut(
+        bytes_out=bytes_out, byte_count=byte_count,
+        sync_fired=sync_fired, eod_fired=eod_fired,
+        mean_amplitude=amps.mean(-1))
+
+
+@functools.lru_cache(maxsize=None)
+def make_demod_chunk(params: FSKParams, ds_phase: int, donate: bool = True):
+    """Jitted demod step specialized on (params, ds_phase); the state
+    buffers are donated so streaming keeps state device-resident."""
+    fn = functools.partial(demod_chunk, params, ds_phase)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,97 @@
+"""Batched FSK modulator — phase-continuous DDS, array-first.
+
+Re-architecture of the reference per-sample DDS loop
+(generateFSKSignalInternal, src/modems/fsk.ts:389-424): instead of one
+``sin`` per sample in a loop, the per-*bit* phase offsets are
+prefix-summed (tiny, done in float64 on host for exactness), and the
+device evaluates ``sin(phase_offset[bit] + k*omega[bit])`` for all
+samples of all channels in parallel — a single fused elementwise
+kernel on the VPU, batched [B, T].
+
+Signal layout matches the reference exactly (fsk.ts:389-395):
+2 bit-times of leading zero padding, preamble + SFD + data bytes
+UART-framed (start bits, 8 data bits MSB-first, optional parity, stop
+bits), one byte-time of trailing silence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+
+from webaudio_modem_tpu.models.config import FSKParams, _framed_bits
+
+
+def frame_bits(params: FSKParams, data: bytes) -> np.ndarray:
+    """UART-frame preamble + SFD + data into a bit array (host, numpy)."""
+    cfg = params.config
+    frames = [*cfg.preamble_pattern, *cfg.sfd_pattern, *bytes(data)]
+    bits = []
+    for byte in frames:
+        bits.extend(_framed_bits(byte, cfg))
+    return np.asarray(bits, dtype=np.int8)
+
+
+def signal_length(params: FSKParams, n_data_bytes: int) -> int:
+    """Total sample count (reference fsk.ts:390-394)."""
+    cfg = params.config
+    total_bytes = (len(cfg.preamble_pattern) + len(cfg.sfd_pattern)
+                   + n_data_bytes)
+    padding = params.samples_per_bit * 2 if total_bytes > 0 else 0
+    silence = params.bits_per_byte * params.samples_per_bit
+    return (total_bytes * params.bits_per_byte * params.samples_per_bit
+            + padding + silence)
+
+
+def _phase_tables(params: FSKParams,
+                  bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-bit (phase_offset mod 2pi, per-sample increment), float64 host.
+
+    bits: [..., n_bits] int8.  Exclusive prefix sum of per-bit phase
+    advances keeps on-device arguments small so float32 ``sin`` is
+    accurate regardless of signal length.
+    """
+    two_pi = 2.0 * np.pi
+    freq = np.where(bits == 1, params.mark_freq, params.space_freq)
+    omega = two_pi * freq / params.sample_rate          # [..., n_bits]
+    advance = omega * params.samples_per_bit
+    offsets = np.cumsum(advance, axis=-1) - advance      # exclusive
+    return np.mod(offsets, two_pi), omega
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnums=(2, 3))
+def _synth(offsets, omega, samples_per_bit: int, pad: Tuple[int, int]):
+    """Device synthesis: [..., n_bits] phase tables -> [..., T] signal."""
+    import jax.numpy as jnp
+
+    k = jnp.arange(samples_per_bit, dtype=jnp.float32)
+    phase = (offsets[..., None].astype(jnp.float32)
+             + omega[..., None].astype(jnp.float32) * k)
+    sig = jnp.sin(phase)
+    sig = sig.reshape(*sig.shape[:-2], -1)
+    lead, trail = pad
+    pad_widths = [(0, 0)] * (sig.ndim - 1) + [(lead, trail)]
+    return jnp.pad(sig, pad_widths)
+
+
+def modulate(params: FSKParams, data: bytes) -> np.ndarray:
+    """Modulate one message -> float32 [T] (host convenience API)."""
+    return np.asarray(modulate_batch(params, [data])[0])
+
+
+def modulate_batch(params: FSKParams, messages: Sequence[bytes]):
+    """Modulate a batch of equal-length messages -> [B, T] jax array."""
+    lengths = {len(m) for m in messages}
+    if len(lengths) != 1:
+        raise ValueError(
+            "modulate_batch requires equal-length messages; pad at the "
+            "transport layer or call per-message")
+    bits = np.stack([frame_bits(params, m) for m in messages])
+    offsets, omega = _phase_tables(params, bits)
+    total_bytes = bits.shape[-1] // params.bits_per_byte
+    lead = params.samples_per_bit * 2 if total_bytes > 0 else 0
+    trail = params.bits_per_byte * params.samples_per_bit
+    return _synth(offsets, omega, params.samples_per_bit, (lead, trail))
