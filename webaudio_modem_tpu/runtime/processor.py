@@ -1,0 +1,180 @@
+"""FSKProcessor — the realtime streaming harness.
+
+The analog of the reference's AudioWorklet processor + its RPC client
+(src/webaudio/processors/fsk-processor.ts + webaudio-data-channel.ts)
+collapsed into one object: since our "audio thread" is the simulated
+audio graph driving ``process()`` inside the same asyncio loop, the
+MessagePort RPC hop disappears and the IDataChannel surface is served
+directly with asyncio futures.
+
+Behavioral contract preserved from the reference:
+  * ``process(inputs, outputs)`` runs per fixed sample quantum; input
+    feeds the streaming demodulator, output pulls from the pending
+    ChunkedModulator (fsk-processor.ts:152-167, 268-290).
+  * ``modulate()`` resolves only when the signal has fully played out
+    through the graph (fsk-processor.ts:89-111) and then clears the RX
+    buffer to suppress self-reception (fsk-processor.ts:207-208).
+  * ``demodulate()`` blocks until at least one byte is available
+    (fsk-processor.ts:113-135).
+  * abort signals cancel pending modulate/demodulate operations
+    (fsk-processor.ts:26-61, 191-200).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Optional
+
+import numpy as np
+
+from webaudio_modem_tpu.core import IAudioProcessor, IDataChannel
+from webaudio_modem_tpu.models.fsk import FSKCore
+from webaudio_modem_tpu.runtime.chunked_modulator import ChunkedModulator
+from webaudio_modem_tpu.utils import RingBuffer
+from webaudio_modem_tpu.utils.abort import AbortError, AbortSignal
+
+logger = logging.getLogger("webaudio_modem_tpu.processor")
+
+
+class FSKProcessor(IAudioProcessor, IDataChannel):
+    def __init__(self, name: str = "unnamed",
+                 core: Optional[FSKCore] = None):
+        self.name = name
+        self.fsk_core = core if core is not None else FSKCore()
+        self.demodulated_buffer = RingBuffer(np.uint8, 1024)
+        self._pending_modulation: Optional[ChunkedModulator] = None
+        self._modulation_done: Optional[asyncio.Future] = None
+        self._awaiting_data: Optional[asyncio.Future] = None
+        self.process_call_count = 0
+
+    # -- configuration ------------------------------------------------------
+
+    def configure(self, config) -> None:
+        self.fsk_core.configure(config)
+
+    # -- IDataChannel -------------------------------------------------------
+
+    async def modulate(self, data: bytes,
+                       signal: Optional[AbortSignal] = None) -> None:
+        if self._pending_modulation is not None:
+            raise RuntimeError("Modulation already in progress")
+        logger.debug("[%s] modulate() %d bytes", self.name, len(data))
+        modulator = ChunkedModulator(self.fsk_core)
+        modulator.start_modulation(bytes(data))
+        if not modulator.is_modulating():
+            return  # empty payload — nothing to play out
+        self._pending_modulation = modulator
+        loop = asyncio.get_running_loop()
+        self._modulation_done = loop.create_future()
+
+        def on_abort():
+            logger.warning("[%s] modulation aborted", self.name)
+            self._pending_modulation = None
+            if self._modulation_done is not None \
+                    and not self._modulation_done.done():
+                self._modulation_done.set_exception(
+                    AbortError("FSK Processor Modulation aborted"))
+
+        if signal is not None:
+            signal.add_listener(on_abort)
+        try:
+            await self._modulation_done
+        finally:
+            if signal is not None:
+                signal.remove_listener(on_abort)
+            self._modulation_done = None
+        # clear RX buffer to avoid self-reception (fsk-processor.ts:207)
+        self.demodulated_buffer.clear()
+
+    async def demodulate(self,
+                         signal: Optional[AbortSignal] = None) -> bytes:
+        if len(self.demodulated_buffer) == 0:
+            loop = asyncio.get_running_loop()
+            fut = loop.create_future()
+            self._awaiting_data = fut
+
+            def on_abort():
+                self._awaiting_data = None
+                if not fut.done():
+                    fut.set_exception(AbortError("Demodulation aborted"))
+
+            if signal is not None:
+                signal.add_listener(on_abort)
+            try:
+                await fut
+            finally:
+                if signal is not None:
+                    signal.remove_listener(on_abort)
+        n = len(self.demodulated_buffer)
+        out = bytearray()
+        for _ in range(n):
+            out.append(int(self.demodulated_buffer.remove()))
+        return bytes(out)
+
+    async def reset(self) -> None:
+        logger.debug("[%s] reset", self.name)
+        self.demodulated_buffer.clear()
+        self._pending_modulation = None
+        if self._awaiting_data is not None \
+                and not self._awaiting_data.done():
+            self._awaiting_data.set_exception(AbortError("DataChannel reset"))
+        self._awaiting_data = None
+        if self._modulation_done is not None \
+                and not self._modulation_done.done():
+            self._modulation_done.set_exception(AbortError("DataChannel reset"))
+        self._modulation_done = None
+
+    def is_ready(self) -> bool:
+        return True
+
+    # -- IAudioProcessor (fsk-processor.ts:152-167) --------------------------
+
+    def process(self, inputs: np.ndarray, outputs: np.ndarray) -> bool:
+        self.process_call_count += 1
+        if inputs is not None and len(inputs):
+            self._demodulate_from(inputs)
+        if outputs is not None and len(outputs):
+            self._modulate_to(outputs)
+        return True
+
+    def _demodulate_from(self, samples: np.ndarray) -> None:
+        if not self.fsk_core.is_ready():
+            return
+        try:
+            demodulated = self.fsk_core.demodulate_data(samples)
+        except Exception:  # pragma: no cover
+            logger.exception("[%s] demodulation error", self.name)
+            return
+        if demodulated:
+            for byte in demodulated:
+                self.demodulated_buffer.put(byte)
+            if self._awaiting_data is not None \
+                    and not self._awaiting_data.done():
+                self._awaiting_data.set_result(None)
+                self._awaiting_data = None
+
+    def _modulate_to(self, outputs: np.ndarray) -> None:
+        outputs[:] = 0.0
+        if self._pending_modulation is None:
+            return
+        result = self._pending_modulation.get_next_samples(len(outputs))
+        if result is None:
+            return
+        outputs[:len(result.signal)] = result.signal
+        if result.is_complete:
+            self._pending_modulation = None
+            if self._modulation_done is not None \
+                    and not self._modulation_done.done():
+                self._modulation_done.set_result(None)
+
+    # -- observability (fsk-processor.ts:222-237) ----------------------------
+
+    def get_status(self) -> dict:
+        return {
+            "demodulated_buffer_length": len(self.demodulated_buffer),
+            "pending_modulation": self._pending_modulation is not None,
+            "fsk_core_ready": self.fsk_core.is_ready(),
+            "process_call_count": self.process_call_count,
+            **self.fsk_core.get_status(),
+        }
