@@ -1,0 +1,70 @@
+"""Sharded channel-farm tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKConfig
+from webaudio_modem_tpu.models.farm import ModemFarm
+from webaudio_modem_tpu.parallel.sharding import (channel_sharding,
+                                                  make_mesh, shard_state)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {"channels": 8}
+
+
+def test_sharded_farm_matches_unsharded(mesh):
+    B = 16
+    msgs = [bytes([i]) * 2 for i in range(B)]
+    farm_plain = ModemFarm(DEFAULT_FSK_CONFIG, B, donate=False)
+    farm_shard = ModemFarm(DEFAULT_FSK_CONFIG, B, mesh=mesh, donate=False)
+
+    sig = np.asarray(farm_plain.modulate(msgs))
+    out_plain = farm_plain.demodulate(sig)
+    out_shard = farm_shard.demodulate(sig)
+    assert out_plain == out_shard == msgs
+
+
+def test_sharded_state_placement(mesh):
+    from webaudio_modem_tpu.models.config import FSKParams
+    from webaudio_modem_tpu.ops import fsk_demod
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    state = fsk_demod.init_state(params, batch=16)
+    sharded = shard_state(state, mesh)
+    assert sharded.agc_gain.sharding == channel_sharding(mesh)
+    # time-major windows shard on axis 1: 16 channels / 8 devices = 2
+    shard0 = sharded.bit_tail.addressable_shards[0].data
+    assert shard0.shape == (params.sync_window, 2)
+
+
+def test_streaming_chunks_sharded(mesh):
+    B = 8
+    msgs = [b"x"] * B
+    farm = ModemFarm(DEFAULT_FSK_CONFIG, B, mesh=mesh, donate=False)
+    sig = np.asarray(farm.modulate(msgs))
+    out = farm.demodulate(sig, chunk_size=1024)
+    assert out == msgs
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

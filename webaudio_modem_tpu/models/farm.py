@@ -1,3 +1,104 @@
-"""ModemFarm — placeholder, implemented after the demod kernel."""
+"""ModemFarm — thousands of independent streaming FSK channels per chip.
 
-ModemFarm = None
+The scale-out model BASELINE.json's north star asks for: B concurrent
+48 kHz FSK streams demodulated with carried filter/NCO state, batched
+through the same kernels as the single-channel FSKCore (models/fsk.py),
+optionally sharded over a device mesh (parallel/sharding.py).
+
+The reference achieves N channels by instantiating N AudioWorkletNodes
+(demo/demo.js:233-237) — one JS thread each; here N is a tensor
+dimension.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
+from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+
+
+class ModemFarm:
+    def __init__(self, config: FSKConfig, batch: int,
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 donate: bool = True):
+        self.config = config
+        self.params = FSKParams.from_config(config)
+        self.batch = batch
+        self.mesh = mesh
+        self._donate = donate
+        self.state = fsk_demod.init_state(self.params, batch)
+        if mesh is not None:
+            from webaudio_modem_tpu.parallel.sharding import shard_state
+
+            self.state = shard_state(self.state, mesh)
+        self._ds_phase = 0
+
+    # -- modulation ---------------------------------------------------------
+
+    def modulate(self, messages: Sequence[bytes]):
+        """[B] equal-length messages -> [B, T] signal batch."""
+        if len(messages) != self.batch:
+            raise ValueError(f"expected {self.batch} messages")
+        sig = fsk_mod.modulate_batch(self.params, messages)
+        if self.mesh is not None:
+            from webaudio_modem_tpu.parallel.sharding import channel_sharding
+
+            sig = jax.device_put(sig, channel_sharding(self.mesh))
+        return sig
+
+    # -- streaming demodulation --------------------------------------------
+
+    def demodulate_chunk(self, samples) -> fsk_demod.DemodOut:
+        """Feed one [B, T] frame; returns the raw DemodOut (device
+        arrays).  Use ``collect_bytes`` to decode host-side."""
+        step = fsk_demod.make_demod_chunk(self.params, self._ds_phase,
+                                          donate=self._donate)
+        self.state, out = step(self.state, samples)
+        self._ds_phase = (self._ds_phase + samples.shape[-1]) \
+            % self.params.downsample_ratio
+        return out
+
+    @staticmethod
+    def collect_bytes(out: fsk_demod.DemodOut) -> List[bytes]:
+        counts = np.asarray(out.byte_count)
+        vals = np.asarray(out.bytes_out)
+        return [bytes(vals[b, :counts[b]]) for b in range(len(counts))]
+
+    def demodulate(self, samples, chunk_size: Optional[int] = None
+                   ) -> List[bytes]:
+        """Demodulate a full [B, T] batch (optionally in chunks),
+        returning per-channel decoded bytes."""
+        samples = np.asarray(samples, dtype=np.float32)
+        B, T = samples.shape
+        if B != self.batch:
+            raise ValueError(f"expected batch {self.batch}, got {B}")
+        chunk = chunk_size or T
+        collected = [bytearray() for _ in range(B)]
+        for start in range(0, T, chunk):
+            out = self.demodulate_chunk(samples[:, start:start + chunk])
+            for b, piece in enumerate(self.collect_bytes(out)):
+                collected[b] += piece
+        return [bytes(c) for c in collected]
+
+    def reset(self) -> None:
+        self.state = fsk_demod.init_state(self.params, self.batch)
+        if self.mesh is not None:
+            from webaudio_modem_tpu.parallel.sharding import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
+        self._ds_phase = 0
+
+    # -- observability ------------------------------------------------------
+
+    def get_status(self) -> dict:
+        return {
+            "batch": self.batch,
+            "sync_detections": np.asarray(self.state.sync_count),
+            "eod_events": np.asarray(self.state.eod_count),
+            "frames_started": np.asarray(self.state.started),
+        }

@@ -133,7 +133,7 @@ class FSKCore(IModulator):
         # fsk.ts:471-479): SNR from the carried amplitude window.
         if self._state is None:
             return SignalQuality()
-        amps = np.asarray(self._state.amp_tail[0])
+        amps = np.asarray(self._state.amp_tail[:, 0])
         active = amps[amps > float(self._state.threshold[0])]
         if len(active) < 8:
             return SignalQuality()

@@ -84,9 +84,11 @@ class DemodState(NamedTuple):
     # stage B
     last_phase: jax.Array      # f32 [B]   (iqState.lastPhase)
     post: Tuple[jax.Array, ...]  # 4 x f32 [B]
-    # stage C — carried windows + fill counters
-    bit_tail: jax.Array        # f32 [B, W]  last W sliced bits
-    amp_tail: jax.Array        # f32 [B, A]  last A amplitudes
+    # stage C — carried windows + fill counters.  Time-major [T, B]:
+    # channels ride the 128-wide lane axis, time the sublane axis, so
+    # window shifts and cumsums never transpose.
+    bit_tail: jax.Array        # f32 [W, B]  last W sliced bits
+    amp_tail: jax.Array        # f32 [A, B]  last A amplitudes
     bit_fill: jax.Array        # i32 [B]  bits seen since configure/reset
     amp_fill: jax.Array        # i32 [B]  amps seen since configure
     # stage D — framing state machine
@@ -125,8 +127,8 @@ def init_state(params: FSKParams, batch: int = 1) -> DemodState:
         pre=biq(), phi=z(), iq_i=biq(), iq_q=biq(),
         ds_iacc=z(), ds_qacc=z(),
         last_phase=z(), post=biq(),
-        bit_tail=jnp.zeros((batch, params.sync_window), jnp.float32),
-        amp_tail=jnp.zeros((batch, params.amp_window), jnp.float32),
+        bit_tail=jnp.zeros((params.sync_window, batch), jnp.float32),
+        amp_tail=jnp.zeros((params.amp_window, batch), jnp.float32),
         bit_fill=zi(), amp_fill=zi(),
         started=zb(), counter=zi(), sil=zi(),
         threshold=jnp.full((batch,), 0.01, jnp.float32),
@@ -148,132 +150,177 @@ def max_bytes(params: FSKParams, n_ds: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Stage A: fused full-rate scan
+# Stages A+B: one fused sequential scan at the downsampled rate
 # ---------------------------------------------------------------------------
+#
+# Every sequential recurrence (AGC, pre-filter, NCO, I/Q LPFs, phase
+# diff, post-LPF) lives in ONE lax.scan whose step processes a whole
+# downsample group (ratio full-rate samples) and whose body is unrolled
+# _UNROLL groups per iteration: iteration count drops from T to
+# T/(ratio*_UNROLL), which matters because XLA While iterations carry
+# fixed per-step overhead that dwarfs this body's ~100 VPU ops on [B].
 
-def _stage_a(params: FSKParams, state: DemodState, x):
-    """AGC + pre-filter + NCO mix + I/Q LPF over [B, T].
+_UNROLL = 8
 
-    Returns (new stage-A state fields, i_f [B, T], q_f [B, T]).
-    """
+
+def _default_unroll() -> int:
+    # XLA:CPU degrades badly (compile and run time) on large scan
+    # bodies; XLA:TPU wants them large to amortize While overhead.
+    return 2 if jax.default_backend() == "cpu" else _UNROLL
+
+
+def _full_rate_step(params: FSKParams, fr, x_t):
+    """One full-rate sample through AGC -> pre-filter -> NCO -> I/Q LPF
+    (fsk.ts:52-76, 199-202, 228-238).  fr fields are [B]."""
     pb0, pb1, pb2, pa1, pa2 = [jnp.float32(c) for c in params.pre_filter]
     ib0, ib1, ib2, ia1, ia2 = [jnp.float32(c) for c in params.iq_filter]
     omega = jnp.float32(_TWO_PI * params.center_freq / params.sample_rate)
     two_pi = jnp.float32(_TWO_PI)
-    attack = jnp.float32(params.agc_attack)
-    release = jnp.float32(params.agc_release)
-    target = jnp.float32(params.agc_target)
-    agc_on = params.config.agc_enabled
 
-    def step(carry, xt):
-        g, (px1, px2, py1, py2), phi, \
-            (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2) = carry
-        if agc_on:
-            y = xt * g
-            level = jnp.abs(y)
-            tgt = target / jnp.maximum(level, jnp.float32(1e-30))
-            rate = jnp.where(level > target, attack, release)
-            g = jnp.where(level > 0,
-                          jnp.clip(g + (tgt - g) * rate,
-                                   jnp.float32(0.1), jnp.float32(10.0)),
-                          g)
-        else:
-            y = xt
-        # pre-filter biquad (DF-I)
-        f = pb0 * y + pb1 * px1 + pb2 * px2 - pa1 * py1 - pa2 * py2
-        px2, px1 = px1, y
-        py2, py1 = py1, f
-        # NCO quadrature mix
-        i_r = f * jnp.cos(phi)
-        q_r = f * jnp.sin(phi)
-        phi = jnp.mod(phi + omega, two_pi)
-        # I/Q low-pass biquads
-        fi = ib0 * i_r + ib1 * ix1 + ib2 * ix2 - ia1 * iy1 - ia2 * iy2
-        ix2, ix1 = ix1, i_r
-        iy2, iy1 = iy1, fi
-        fq = ib0 * q_r + ib1 * qx1 + ib2 * qx2 - ia1 * qy1 - ia2 * qy2
-        qx2, qx1 = qx1, q_r
-        qy2, qy1 = qy1, fq
-        return (g, (px1, px2, py1, py2), phi,
-                (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2)), (fi, fq)
-
-    carry0 = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
-    carry, (iT, qT) = jax.lax.scan(step, carry0, jnp.moveaxis(x, -1, 0))
-    return carry, jnp.moveaxis(iT, 0, -1), jnp.moveaxis(qT, 0, -1)
-
-
-# ---------------------------------------------------------------------------
-# Stage B helpers
-# ---------------------------------------------------------------------------
-
-def _downsample(params: FSKParams, ds_phase: int, state: DemodState,
-                i_f, q_f):
-    """2x averaging downsample with carried accumulators (fsk.ts:240-248).
-
-    ds_phase (static): samples already in the accumulator (0..ratio-1);
-    tracked host-side since it is data-independent.
-    Returns (avg_i [B, n_ds], avg_q, new_iacc, new_qacc).
-    """
-    ratio = params.downsample_ratio
-    T = i_f.shape[-1]
-    parts_i, parts_q = [], []
-    if ds_phase > 0:
-        need = ratio - ds_phase
-        if T < need:  # chunk too short to complete the pending group
-            return (i_f[..., :0], q_f[..., :0],
-                    state.ds_iacc + i_f.sum(-1),
-                    state.ds_qacc + q_f.sum(-1))
-        k = need
-        parts_i.append((state.ds_iacc + i_f[..., :k].sum(-1))[..., None])
-        parts_q.append((state.ds_qacc + q_f[..., :k].sum(-1))[..., None])
+    g, (px1, px2, py1, py2), phi, \
+        (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2) = fr
+    if params.config.agc_enabled:
+        y = x_t * g
+        level = jnp.abs(y)
+        tgt = jnp.float32(params.agc_target) / \
+            jnp.maximum(level, jnp.float32(1e-30))
+        rate = jnp.where(level > jnp.float32(params.agc_target),
+                         jnp.float32(params.agc_attack),
+                         jnp.float32(params.agc_release))
+        g = jnp.where(level > 0,
+                      jnp.clip(g + (tgt - g) * rate,
+                               jnp.float32(0.1), jnp.float32(10.0)),
+                      g)
     else:
-        k = 0
-    n_pairs = (T - k) // ratio
-    if n_pairs:
-        body_i = i_f[..., k:k + n_pairs * ratio]
-        body_q = q_f[..., k:k + n_pairs * ratio]
-        parts_i.append(body_i.reshape(*body_i.shape[:-1], n_pairs, ratio)
-                       .sum(-1))
-        parts_q.append(body_q.reshape(*body_q.shape[:-1], n_pairs, ratio)
-                       .sum(-1))
-    leftover = T - k - n_pairs * ratio
-    if parts_i:
-        avg_i = jnp.concatenate(parts_i, -1) / ratio
-        avg_q = jnp.concatenate(parts_q, -1) / ratio
-    else:
-        avg_i = i_f[..., :0]
-        avg_q = q_f[..., :0]
-    if leftover:
-        new_iacc = i_f[..., -leftover:].sum(-1)
-        new_qacc = q_f[..., -leftover:].sum(-1)
-    else:
-        new_iacc = jnp.zeros_like(state.ds_iacc)
-        new_qacc = jnp.zeros_like(state.ds_qacc)
-    return avg_i, avg_q, new_iacc, new_qacc
+        y = x_t
+    f = pb0 * y + pb1 * px1 + pb2 * px2 - pa1 * py1 - pa2 * py2
+    px2, px1 = px1, y
+    py2, py1 = py1, f
+    i_r = f * jnp.cos(phi)
+    q_r = f * jnp.sin(phi)
+    phi = jnp.mod(phi + omega, two_pi)
+    fi = ib0 * i_r + ib1 * ix1 + ib2 * ix2 - ia1 * iy1 - ia2 * iy2
+    ix2, ix1 = ix1, i_r
+    iy2, iy1 = iy1, fi
+    fq = ib0 * q_r + ib1 * qx1 + ib2 * qx2 - ia1 * qy1 - ia2 * qy2
+    qx2, qx1 = qx1, q_r
+    qy2, qy1 = qy1, fq
+    fr = (g, (px1, px2, py1, py2), phi,
+          (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2))
+    return fr, fi, fq
 
 
-def _phase_discriminator(params: FSKParams, state: DemodState,
-                         avg_i, avg_q):
-    """atan2 + wrapped diff + post-LPF + polarity slicer (fsk.ts:251-264)."""
+def _ds_decision(params: FSKParams, dsc, avg_i, avg_q):
+    """Downsampled-rate decision: atan2 phase/amplitude, wrapped phase
+    diff, post-LPF, polarity slicer (fsk.ts:251-264).  dsc = (last_phase,
+    post biquad state)."""
+    last_phase, (x1, x2, y1, y2) = dsc
     cur = jnp.arctan2(avg_q, avg_i)
     amp = jnp.sqrt(avg_i * avg_i + avg_q * avg_q)
-    prev = jnp.concatenate([state.last_phase[..., None], cur[..., :-1]], -1)
-    diff = cur - prev
+    diff = cur - last_phase
     pi = jnp.float32(np.pi)
     diff = jnp.where(diff > pi, diff - 2 * pi,
                      jnp.where(diff < -pi, diff + 2 * pi, diff))
     b0, b1, b2, a1, a2 = [jnp.float32(c) for c in params.post_filter]
+    filt = b0 * diff + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+    bit = (jnp.float32(params.polarity) * filt > 0).astype(jnp.float32)
+    return (cur, (diff, x1, filt, y1)), bit, amp
 
-    def step(carry, d):
-        x1, x2, y1, y2 = carry
-        y = b0 * d + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
-        return (d, x1, y, y1), y
 
-    post_state, fT = jax.lax.scan(step, state.post,
-                                  jnp.moveaxis(diff, -1, 0))
-    filt = jnp.moveaxis(fT, 0, -1)
-    bits = (jnp.float32(params.polarity) * filt > 0).astype(jnp.float32)
-    return bits, amp, cur[..., -1], post_state
+def _group_step(params: FSKParams, carry, x_group):
+    """One downsample group: ``ratio`` full-rate samples -> one decision.
+    x_group: tuple of ratio [B] sample vectors."""
+    fr, dsc = carry
+    acc_i = acc_q = None
+    for x_t in x_group:
+        fr, fi, fq = _full_rate_step(params, fr, x_t)
+        acc_i = fi if acc_i is None else acc_i + fi
+        acc_q = fq if acc_q is None else acc_q + fq
+    ratio = jnp.float32(params.downsample_ratio)
+    dsc, bit, amp = _ds_decision(params, dsc, acc_i / ratio, acc_q / ratio)
+    return (fr, dsc), bit, amp
+
+
+def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
+                      x, unroll: int = 0):
+    """Run all sequential recurrences over [B, T].
+
+    Returns (fr_state, dsc_state, ds_iacc, ds_qacc, bits [n_ds, B],
+    amps [n_ds, B]) — outputs time-major.  ``ds_phase`` (static) =
+    samples already pending in the downsample accumulator; tracked
+    host-side (data-independent).
+    """
+    unroll = unroll or _default_unroll()
+    B, T = x.shape
+    ratio = params.downsample_ratio
+    xT = x.T  # single layout change; everything downstream is time-major
+    fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
+    dsc = (state.last_phase, state.post)
+    bits_parts, amps_parts = [], []
+    pos = 0
+
+    # prefix: complete the pending group carried from the last chunk
+    if ds_phase > 0:
+        need = ratio - ds_phase
+        acc_i, acc_q = state.ds_iacc, state.ds_qacc
+        if T < need:  # chunk too short to complete the group
+            for t in range(T):
+                fr, fi, fq = _full_rate_step(params, fr, xT[t])
+                acc_i = acc_i + fi
+                acc_q = acc_q + fq
+            empty = jnp.zeros((0, B), x.dtype)
+            return fr, dsc, acc_i, acc_q, empty, empty
+        for t in range(need):
+            fr, fi, fq = _full_rate_step(params, fr, xT[t])
+            acc_i = acc_i + fi
+            acc_q = acc_q + fq
+        dsc, bit, amp = _ds_decision(params, dsc,
+                                     acc_i / ratio, acc_q / ratio)
+        bits_parts.append(bit[None, :])
+        amps_parts.append(amp[None, :])
+        pos = need
+
+    n_groups = (T - pos) // ratio
+    main = (n_groups // unroll) * unroll
+    if main:
+        xs = xT[pos:pos + main * ratio].reshape(
+            main // unroll, unroll * ratio, B)
+
+        def body(carry, block):
+            bs, as_ = [], []
+            for u in range(unroll):
+                group = tuple(block[u * ratio + r] for r in range(ratio))
+                carry, bit, amp = _group_step(params, carry, group)
+                bs.append(bit)
+                as_.append(amp)
+            return carry, (jnp.stack(bs), jnp.stack(as_))
+
+        (fr, dsc), (bm, am) = jax.lax.scan(body, (fr, dsc), xs)
+        bits_parts.append(bm.reshape(main, B))
+        amps_parts.append(am.reshape(main, B))
+        pos += main * ratio
+
+    for _ in range(n_groups - main):  # remainder groups, inlined
+        group = tuple(xT[pos + r] for r in range(ratio))
+        (fr, dsc), bit, amp = _group_step(params, (fr, dsc), group)
+        bits_parts.append(bit[None, :])
+        amps_parts.append(amp[None, :])
+        pos += ratio
+
+    leftover = T - pos  # 0..ratio-1 samples start the next pending group
+    acc_i = jnp.zeros_like(state.ds_iacc)
+    acc_q = jnp.zeros_like(state.ds_qacc)
+    for t in range(leftover):
+        fr, fi, fq = _full_rate_step(params, fr, xT[pos + t])
+        acc_i = acc_i + fi
+        acc_q = acc_q + fq
+
+    if bits_parts:
+        bits = jnp.concatenate(bits_parts, 0)
+        amps = jnp.concatenate(amps_parts, 0)
+    else:
+        bits = amps = jnp.zeros((0, B), x.dtype)
+    return fr, dsc, acc_i, acc_q, bits, amps
 
 
 # ---------------------------------------------------------------------------
@@ -305,36 +352,74 @@ def _sync_kernel(params: FSKParams) -> Tuple[np.ndarray, float, float]:
     return kernel, float(valid.sum()), float((q * valid).sum())
 
 
-def _sync_ratios(params: FSKParams, ext_bits):
-    """Match ratio for every new downsampled position.
-
-    ext_bits: [B, W + n_ds] (W carried tail + new bits).
-    Returns ratio [B, n_ds] — identical values to the reference's
-    per-position matched/total computation (fsk.ts:302-314).
-    """
+def _sync_ratios_conv(params: FSKParams, ext_bits):
+    """Match ratio via 2-channel convolution (reference formulation,
+    kept as a cross-check oracle for the block-sum fast path).
+    ext_bits: time-major [W + n_ds, B]."""
     kernel_np, n_valid, sum_q = _sync_kernel(params)
     kernel = jnp.asarray(kernel_np)
+    bT = ext_bits.T
     out = jax.lax.conv_general_dilated(
-        ext_bits[:, None, :], kernel, window_strides=(1,),
+        bT[:, None, :], kernel, window_strides=(1,),
         padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32)
     c_bq = out[:, 0, 1:]   # Σ bit·pattern over valid window positions
     s_b = out[:, 1, 1:]    # Σ bit over valid window positions
     matched = n_valid - s_b - sum_q + 2.0 * c_bq
-    return matched / params.sync_window
+    return (matched / params.sync_window).T
+
+
+def _sync_ratios(params: FSKParams, ext_bits):
+    """Match ratio for every new downsampled position.
+
+    ext_bits: time-major [W + n_ds, B] (W carried tail + new bits).
+    Returns ratio [n_ds, B] — identical values to the reference's
+    per-position matched/total computation (fsk.ts:302-314).
+
+    Exact block-sum decomposition instead of a length-W convolution:
+    the window is n_pat bit-blocks of ds samples each, and within block
+    j every sample is compared against the SAME pattern bit
+    p_j = pattern[n_pat - j] (fsk.ts:304-308), so
+
+        matched(t) = Σ_{j=1..n_pat-1}  p_j ? R(t-j·ds) : ds - R(t-j·ds)
+
+    where R(i) is the rolling ds-wide bit sum ending at index i —
+    O(n_pat) adds per position (static slices of one cumsum) instead of
+    O(n_pat·ds) MACs.  Block j = 0 is the reference's out-of-bounds
+    pattern index: never matches, contributes only to the total.
+    Counts are integer-exact in float32 (values < 2^24).
+    """
+    ds = params.ds_samples_per_bit
+    n_pat = len(params.pattern_bits)
+    W = params.sync_window
+    n_ds = ext_bits.shape[0] - W
+
+    csum = jnp.cumsum(
+        jnp.concatenate([jnp.zeros_like(ext_bits[:1]), ext_bits], 0),
+        axis=0)
+    # R_at(i) = sum of ds bits ending at ext index i = csum[i+1]-csum[i+1-ds]
+    matched = jnp.zeros_like(ext_bits[:n_ds])
+    for j in range(1, n_pat):
+        p = params.pattern_bits[n_pat - j]
+        # positions i = W + t - j*ds for t in [0, n_ds)
+        lo = W - j * ds
+        r = csum[lo + 1:lo + 1 + n_ds] - csum[lo + 1 - ds:
+                                              lo + 1 - ds + n_ds]
+        matched = matched + (r if p == 1 else (ds - r))
+    return matched / W
 
 
 def _amp_means(params: FSKParams, state: DemodState, ext_amps, n_ds: int):
     """Rolling mean of the last ``amp_window`` amplitudes at each new
     position (divisor = current fill, mirroring ring-buffer length,
-    fsk.ts:322-326)."""
+    fsk.ts:322-326).  ext_amps time-major [A + n_ds, B] -> [n_ds, B]."""
     A = params.amp_window
     csum = jnp.cumsum(
-        jnp.concatenate([jnp.zeros_like(ext_amps[:, :1]), ext_amps], -1),
-        axis=-1)
-    sums = csum[:, A + 1:] - csum[:, 1:n_ds + 1]          # [B, n_ds]
+        jnp.concatenate([jnp.zeros_like(ext_amps[:1]), ext_amps], 0),
+        axis=0)
+    sums = csum[A + 1:] - csum[1:n_ds + 1]                # [n_ds, B]
     t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
-    fill = jnp.minimum(state.amp_fill[:, None] + t[None, :], A)
+    fill = jnp.minimum(t[:, None] + state.amp_fill[None, :], A)
     return sums / jnp.maximum(fill, 1).astype(jnp.float32)
 
 
@@ -342,13 +427,9 @@ def _amp_means(params: FSKParams, state: DemodState, ext_amps, n_ds: int):
 # Stage D: framing state machine scan
 # ---------------------------------------------------------------------------
 
-def _stage_d(params: FSKParams, state: DemodState,
-             bits, amps, ratios, means, gate_fill):
-    """Branchless scan implementing fsk.ts:278-375 at downsampled rate.
-
-    All inputs [B, n_ds]; gate_fill is the precomputed
-    ``syncSamplesBuffer.length >= window`` condition (fsk.ts:302).
-    """
+def _d_step(params: FSKParams, carry, inp):
+    """One downsampled step of the framing state machine
+    (fsk.ts:278-375), branchless."""
     ds_per_bit = jnp.int32(params.ds_samples_per_bit)
     quarter = jnp.int32(params.quarter_bit)
     eod_after = jnp.float32(params.samples_for_eod)
@@ -356,7 +437,7 @@ def _stage_d(params: FSKParams, state: DemodState,
     stop_pos = jnp.int32(params.stop_bit_position)
     parity_on = params.config.parity != "none"
 
-    def step(carry, inp):
+    if True:  # keep the original body's indentation
         (started, counter, sil, thr, accum, count, bsc, nxt,
          byte_cur, pos) = carry
         bit, amp, ratio, mean, gate = inp
@@ -429,17 +510,49 @@ def _stage_d(params: FSKParams, state: DemodState,
         return (started2, counter2, sil2, thr2, accum2, count2, bsc2,
                 nxt2, byte2, pos2), out
 
-    carry0 = (state.started, state.counter, state.sil, state.threshold,
-              state.accum, state.count, state.bsc, state.next_idx,
-              state.byte_cur, state.pos)
-    inputs = tuple(jnp.moveaxis(a, -1, 0)
-                   for a in (bits, amps, ratios, means, gate_fill))
-    carry, (byte_vals, emits, eods, fires) = jax.lax.scan(
-        step, carry0, inputs)
-    return carry, (jnp.moveaxis(byte_vals, 0, -1),
-                   jnp.moveaxis(emits, 0, -1),
-                   jnp.moveaxis(eods, 0, -1),
-                   jnp.moveaxis(fires, 0, -1))
+
+def _stage_d(params: FSKParams, state: DemodState,
+             bits, amps, ratios, means, gate_fill,
+             unroll: int = 0):
+    """Framing state machine.  All inputs AND outputs time-major
+    [n_ds, B]; the scan body is unrolled ``unroll`` steps per iteration
+    (see _UNROLL note)."""
+    unroll = unroll or _default_unroll()
+    carry = (state.started, state.counter, state.sil, state.threshold,
+             state.accum, state.count, state.bsc, state.next_idx,
+             state.byte_cur, state.pos)
+    inputs = (bits, amps, ratios, means, gate_fill)
+    n_ds, B = bits.shape
+    main = (n_ds // unroll) * unroll
+    out_parts = []
+
+    if main:
+        blocks = tuple(a[:main].reshape(main // unroll, unroll, B)
+                       for a in inputs)
+
+        def body(c, ins):
+            outs = []
+            for u in range(unroll):
+                c, out = _d_step(params, c, tuple(a[u] for a in ins))
+                outs.append(out)
+            return c, tuple(jnp.stack([o[k] for o in outs])
+                            for k in range(4))
+
+        carry, ys = jax.lax.scan(body, carry, blocks)
+        out_parts.append(tuple(y.reshape(main, B) for y in ys))
+
+    rem_outs = []
+    for t in range(main, n_ds):  # remainder steps, inlined
+        carry, out = _d_step(params, carry,
+                             tuple(a[t] for a in inputs))
+        rem_outs.append(out)
+    if rem_outs:
+        out_parts.append(tuple(jnp.stack([o[k] for o in rem_outs])
+                               for k in range(4)))
+
+    merged = tuple(jnp.concatenate([p[k] for p in out_parts], 0)
+                   for k in range(4))
+    return carry, merged
 
 
 # ---------------------------------------------------------------------------
@@ -454,12 +567,11 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     ``make_demod_chunk`` for the jitted, donated entry point.
     """
     B, T = samples.shape
-    a_carry, i_f, q_f = _stage_a(params, state, samples)
-    agc_gain, pre, phi, iq_i, iq_q = a_carry
-
-    avg_i, avg_q, ds_iacc, ds_qacc = _downsample(
-        params, ds_phase, state, i_f, q_f)
-    n_ds = avg_i.shape[-1]
+    fr, dsc, ds_iacc, ds_qacc, bits, amps = _sequential_stage(
+        params, ds_phase, state, samples)
+    agc_gain, pre, phi, iq_i, iq_q = fr
+    last_phase, post_state = dsc
+    n_ds = bits.shape[0]  # time-major [n_ds, B]
     maxb = max_bytes(params, n_ds)
 
     if n_ds == 0:
@@ -472,15 +584,12 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
             byte_count=zi, sync_fired=zi, eod_fired=zi,
             mean_amplitude=jnp.zeros((B,), jnp.float32))
 
-    bits, amps, last_phase, post_state = _phase_discriminator(
-        params, state, avg_i, avg_q)
-
-    ext_bits = jnp.concatenate([state.bit_tail, bits], -1)
-    ext_amps = jnp.concatenate([state.amp_tail, amps], -1)
+    ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
+    ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
     ratios = _sync_ratios(params, ext_bits)
     means = _amp_means(params, state, ext_amps, n_ds)
     t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
-    gate_fill = (state.bit_fill[:, None] + t[None, :]) >= \
+    gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
         jnp.int32(params.sync_window)
 
     d_carry, (byte_vals, emits, eods, fires) = _stage_d(
@@ -488,25 +597,25 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     (started, counter, sil, threshold, accum, count, bsc, next_idx,
      byte_cur, pos) = d_carry
 
-    # compact (value, valid) pairs into dense byte rows
-    positions = jnp.cumsum(emits.astype(jnp.int32), axis=-1) - 1
+    # compact time-major (value, valid) pairs into dense rows [B, maxb]
+    positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
     flat_idx = jnp.where(
         emits,
-        jnp.arange(B, dtype=jnp.int32)[:, None] * maxb + positions,
+        jnp.arange(B, dtype=jnp.int32)[None, :] * maxb + positions,
         jnp.int32(B * maxb))
     bytes_out = jnp.zeros((B * maxb,), jnp.uint8).at[
         flat_idx.reshape(-1)].set(byte_vals.reshape(-1), mode="drop",
                                   unique_indices=False).reshape(B, maxb)
-    byte_count = emits.astype(jnp.int32).sum(-1)
-    eod_fired = eods.astype(jnp.int32).sum(-1)
-    sync_fired = fires.astype(jnp.int32).sum(-1)
+    byte_count = emits.astype(jnp.int32).sum(0)
+    eod_fired = eods.astype(jnp.int32).sum(0)
+    sync_fired = fires.astype(jnp.int32).sum(0)
 
     new_state = DemodState(
         agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
         ds_iacc=ds_iacc, ds_qacc=ds_qacc,
         last_phase=last_phase, post=post_state,
-        bit_tail=ext_bits[:, -params.sync_window:],
-        amp_tail=ext_amps[:, -params.amp_window:],
+        bit_tail=ext_bits[-params.sync_window:],
+        amp_tail=ext_amps[-params.amp_window:],
         bit_fill=jnp.minimum(state.bit_fill + n_ds,
                              jnp.int32(2 ** 30)),
         amp_fill=jnp.minimum(state.amp_fill + n_ds,
@@ -520,7 +629,7 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     return new_state, DemodOut(
         bytes_out=bytes_out, byte_count=byte_count,
         sync_fired=sync_fired, eod_fired=eod_fired,
-        mean_amplitude=amps.mean(-1))
+        mean_amplitude=amps.mean(0))
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,0 +1,54 @@
+"""Device-mesh sharding for the channel batch.
+
+The reference's only parallelism axis is independent modem channels
+(one FSKCore per AudioWorkletNode, demo/demo.js:233-237); here that
+axis is the leading [B] batch dimension of every kernel, and multi-chip
+scale-out shards B across a 1-D ``jax.sharding.Mesh`` over ICI.
+Channels never communicate, so the sharding is embarrassingly parallel:
+XLA inserts no collectives, and each chip runs the identical fused
+demod pipeline on its B/n_devices slice — the layout the scaling
+playbook calls pure data parallelism with zero cross-shard traffic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHANNEL_AXIS = "channels"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None,
+              axis_name: str = CHANNEL_AXIS) -> Mesh:
+    """1-D mesh over the channel axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"need {n_devices} devices, have {len(devices)}")
+            devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def channel_sharding(mesh: Mesh,
+                     axis_name: str = CHANNEL_AXIS) -> NamedSharding:
+    """Shard the leading (channel) dimension; replicate the rest."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_state(state, mesh: Mesh, axis_name: str = CHANNEL_AXIS):
+    """Place a DemodState pytree with the channel axis sharded over
+    ``mesh``.  Channel position by leaf rank: 1-D leaves are [B];
+    2-D leaves (the time-major carried windows) are [T, B]."""
+
+    def place(x):
+        spec = P(axis_name) if x.ndim == 1 else P(None, axis_name)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, state)
