@@ -160,7 +160,7 @@ def max_bytes(params: FSKParams, n_ds: int) -> int:
 # T/(ratio*_UNROLL), which matters because XLA While iterations carry
 # fixed per-step overhead that dwarfs this body's ~100 VPU ops on [B].
 
-_UNROLL = 8
+_UNROLL = 16
 
 
 def _default_unroll() -> int:
