@@ -36,14 +36,16 @@ def main():
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
-    # one message signal, tiled across channels and streamed cyclically
+    # one message signal, tiled across channels ON DEVICE (uploading
+    # [B, T] chunks over the wire would dominate setup time) and
+    # streamed cyclically
     sig = np.asarray(fsk_mod.modulate(params, message))
     reps = int(np.ceil(chunk_t * 2 / len(sig))) + 1
     loop = np.tile(sig, reps)
     n_chunks_cycle = len(loop) // chunk_t
-    chunks_np = [np.tile(loop[i * chunk_t:(i + 1) * chunk_t], (B, 1))
-                 for i in range(n_chunks_cycle)]
-    chunks = [jax.device_put(jnp.asarray(c)) for c in chunks_np]
+    tile = jax.jit(lambda v: jnp.tile(v[None, :], (B, 1)))
+    chunks = [tile(jnp.asarray(loop[i * chunk_t:(i + 1) * chunk_t]))
+              for i in range(n_chunks_cycle)]
     jax.block_until_ready(chunks)
 
     state = fsk_demod.init_state(params, batch=B)

@@ -597,15 +597,16 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     (started, counter, sil, threshold, accum, count, bsc, next_idx,
      byte_cur, pos) = d_carry
 
-    # compact time-major (value, valid) pairs into dense rows [B, maxb]
+    # Compact time-major (value, valid) pairs into dense rows [B, maxb].
+    # NOT a scatter (TPU serializes non-unique-index scatters, ~70 ms at
+    # B=4096): each output slot j holds at most one emission per channel,
+    # so a masked sum per slot is exact — maxb cheap fused VPU passes.
     positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
-    flat_idx = jnp.where(
-        emits,
-        jnp.arange(B, dtype=jnp.int32)[None, :] * maxb + positions,
-        jnp.int32(B * maxb))
-    bytes_out = jnp.zeros((B * maxb,), jnp.uint8).at[
-        flat_idx.reshape(-1)].set(byte_vals.reshape(-1), mode="drop",
-                                  unique_indices=False).reshape(B, maxb)
+    vals_i32 = byte_vals.astype(jnp.int32)
+    slot = jnp.where(emits, positions, jnp.int32(-1))
+    cols = [jnp.sum(jnp.where(slot == j, vals_i32, 0), axis=0)
+            for j in range(maxb)]
+    bytes_out = jnp.stack(cols, axis=1).astype(jnp.uint8)
     byte_count = emits.astype(jnp.int32).sum(0)
     eod_fired = eods.astype(jnp.int32).sum(0)
     sync_fired = fires.astype(jnp.int32).sum(0)
