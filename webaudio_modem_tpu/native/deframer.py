@@ -1,0 +1,129 @@
+"""Per-channel incremental XModem deframer.
+
+Parses the farm's decoded byte streams into wire events — data packets
+(SOH|SEQ|~SEQ|LEN|PAYLOAD|CRC16, reference packet.ts:44-54), bare
+control bytes (ACK/NAK/EOT, types.ts:28-33) and junk — without
+per-byte Python.  Native C++ backed (native/modem_native.cpp) with a
+pure-Python fallback implementing identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import List, Optional
+
+from webaudio_modem_tpu.native import get_lib
+from webaudio_modem_tpu.utils.crc16 import CRC16
+
+PACKET = "packet"
+CONTROL = "control"
+JUNK = "junk"
+BAD_SEQ = "bad_seq"
+BAD_CRC = "bad_crc"
+
+_CODE_MAP = {1: PACKET, 2: CONTROL, -1: BAD_SEQ, -2: BAD_CRC, -3: JUNK}
+
+
+@dataclasses.dataclass(frozen=True)
+class Frame:
+    kind: str                      # PACKET / CONTROL / JUNK / BAD_*
+    seq: Optional[int] = None      # PACKET only
+    payload: Optional[bytes] = None  # PACKET only
+    byte: Optional[int] = None     # CONTROL / JUNK only
+
+
+class Deframer:
+    """Streaming deframer over ``n_channels`` independent byte streams."""
+
+    def __init__(self, n_channels: int = 1, force_python: bool = False):
+        self.n_channels = n_channels
+        self._lib = None if force_python else get_lib()
+        if self._lib is not None:
+            self._handle = self._lib.wam_deframer_new(n_channels)
+            self._out = (ctypes.c_uint8 * 260)()
+        else:
+            self._buffers: List[bytearray] = [bytearray()
+                                              for _ in range(n_channels)]
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and \
+                getattr(self, "_handle", None):
+            self._lib.wam_deframer_free(self._handle)
+            self._handle = None
+
+    @property
+    def is_native(self) -> bool:
+        return self._lib is not None
+
+    def push(self, channel: int, data: bytes) -> None:
+        if self._lib is not None:
+            self._lib.wam_deframer_push(self._handle, channel,
+                                        bytes(data), len(data))
+        else:
+            self._buffers[channel] += data
+
+    def pending(self, channel: int) -> int:
+        if self._lib is not None:
+            return int(self._lib.wam_deframer_pending(self._handle, channel))
+        return len(self._buffers[channel])
+
+    def reset(self, channel: int) -> None:
+        if self._lib is not None:
+            self._lib.wam_deframer_reset(self._handle, channel)
+        else:
+            self._buffers[channel] = bytearray()
+
+    def poll(self, channel: int) -> Optional[Frame]:
+        """Next event, or None if more bytes are needed."""
+        if self._lib is not None:
+            code = int(self._lib.wam_deframer_poll(self._handle, channel,
+                                                   self._out))
+            if code == 0:
+                return None
+            kind = _CODE_MAP[code]
+            if kind == PACKET:
+                length = self._out[1]
+                return Frame(kind=PACKET, seq=self._out[0],
+                             payload=bytes(self._out[2:2 + length]))
+            if kind in (CONTROL, JUNK):
+                return Frame(kind=kind, byte=self._out[0])
+            return Frame(kind=kind)
+        return self._poll_python(channel)
+
+    def poll_all(self, channel: int) -> List[Frame]:
+        frames = []
+        while True:
+            f = self.poll(channel)
+            if f is None:
+                return frames
+            frames.append(f)
+
+    # -- pure-Python fallback (identical semantics) -------------------------
+
+    def _poll_python(self, channel: int) -> Optional[Frame]:
+        buf = self._buffers[channel]
+        while buf:
+            first = buf[0]
+            if first in (0x04, 0x06, 0x15):       # EOT/ACK/NAK
+                del buf[0]
+                return Frame(kind=CONTROL, byte=first)
+            if first != 0x01:                     # not SOH
+                del buf[0]
+                return Frame(kind=JUNK, byte=first)
+            if len(buf) < 4:
+                return None
+            seq, nseq, length = buf[1], buf[2], buf[3]
+            if ((seq + nseq) & 0xFF) != 0xFF:
+                del buf[:4]
+                return Frame(kind=BAD_SEQ)
+            total = 4 + length + 2
+            if len(buf) < total:
+                return None
+            payload = bytes(buf[4:4 + length])
+            wire_crc = (buf[4 + length] << 8) | buf[4 + length + 1]
+            del buf[:total]
+            if CRC16.calculate(payload) != wire_crc:
+                return Frame(kind=BAD_CRC)
+            return Frame(kind=PACKET, seq=seq, payload=payload)
+        return None
