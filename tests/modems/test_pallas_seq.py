@@ -1,0 +1,81 @@
+"""Differential test: the Pallas sequential-stage kernel (interpreter
+mode on CPU) must match the lax.scan path bit-for-bit in its decisions
+and closely in float state."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+from webaudio_modem_tpu.ops import fsk_demod
+from webaudio_modem_tpu.ops.pallas import fsk_seq
+
+
+@pytest.mark.parametrize("T", [256, 1000, 2048])
+def test_pallas_matches_scan(T):
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = fsk_seq.TILE  # 1024 channels = one tile
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (B, T)).astype(np.float32)
+    state = fsk_demod.init_state(params, B)
+
+    fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
+    dsc = (state.last_phase, state.post)
+
+    # lax reference over the aligned body
+    n_groups = T // params.downsample_ratio
+    Tm = n_groups * params.downsample_ratio
+    fr_ref, dsc_ref, _, _, bits_ref, amps_ref = fsk_demod._sequential_stage(
+        params, 0, state, jnp.asarray(x[:, :Tm]), unroll=2)
+
+    xT = jnp.asarray(x[:, :Tm]).T
+    fr_p, dsc_p, bits_p, amps_p = fsk_seq.seq_main(
+        params, fr, dsc, xT, T_blk=512, interpret=True)
+
+    # On random-noise input the filtered phase diff sits arbitrarily
+    # close to the slicer threshold, so a vanishing fraction of bit
+    # decisions may flip between float evaluation orders; real FSK
+    # signals have wide margins (covered by the decode tests).
+    mism = np.mean(np.asarray(bits_p) != np.asarray(bits_ref))
+    assert mism <= 1e-4, f"bit mismatch fraction {mism}"
+    np.testing.assert_allclose(np.asarray(amps_p), np.asarray(amps_ref),
+                               rtol=1e-4, atol=5e-5)
+    # carried float state matches closely
+    for a, b in zip(jax.tree.leaves((fr_p, dsc_p)),
+                    jax.tree.leaves((fr_ref, dsc_ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)
+
+
+def test_pallas_streaming_state_carry():
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = fsk_seq.TILE
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, (B, 512)).astype(np.float32)
+    state = fsk_demod.init_state(params, B)
+    fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
+    dsc = (state.last_phase, state.post)
+
+    # whole
+    fr_w, dsc_w, bits_w, amps_w = fsk_seq.seq_main(
+        params, fr, dsc, jnp.asarray(x).T, T_blk=256, interpret=True)
+    # two chunks with carried state
+    fr_c, dsc_c, b1, a1 = fsk_seq.seq_main(
+        params, fr, dsc, jnp.asarray(x[:, :256]).T, T_blk=256,
+        interpret=True)
+    fr_c, dsc_c, b2, a2 = fsk_seq.seq_main(
+        params, fr_c, dsc_c, jnp.asarray(x[:, 256:]).T, T_blk=256,
+        interpret=True)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(b1), np.asarray(b2)], 0),
+        np.asarray(bits_w))
+    for a, b in zip(jax.tree.leaves((fr_c, dsc_c)),
+                    jax.tree.leaves((fr_w, dsc_w))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)
+
+
+def test_available_requires_tile_multiple():
+    assert not fsk_seq.available(100)

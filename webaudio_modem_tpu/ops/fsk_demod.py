@@ -169,6 +169,11 @@ def _default_unroll() -> int:
     return 2 if jax.default_backend() == "cpu" else _UNROLL
 
 
+# Escape hatch to force the lax.scan sequential stage even when the
+# Pallas kernel is available (differential testing / debugging).
+FORCE_LAX_SEQ = False
+
+
 def _full_rate_step(params: FSKParams, fr, x_t):
     """One full-rate sample through AGC -> pre-filter -> NCO -> I/Q LPF
     (fsk.ts:52-76, 199-202, 228-238).  fr fields are [B]."""
@@ -210,12 +215,14 @@ def _full_rate_step(params: FSKParams, fr, x_t):
     return fr, fi, fq
 
 
-def _ds_decision(params: FSKParams, dsc, avg_i, avg_q):
+def _ds_decision(params: FSKParams, dsc, avg_i, avg_q,
+                 atan2=jnp.arctan2):
     """Downsampled-rate decision: atan2 phase/amplitude, wrapped phase
     diff, post-LPF, polarity slicer (fsk.ts:251-264).  dsc = (last_phase,
-    post biquad state)."""
+    post biquad state).  ``atan2`` is injectable because Pallas TPU has
+    no atan2 lowering (ops/pallas/tpu_math.atan2 substitutes)."""
     last_phase, (x1, x2, y1, y2) = dsc
-    cur = jnp.arctan2(avg_q, avg_i)
+    cur = atan2(avg_q, avg_i)
     amp = jnp.sqrt(avg_i * avg_i + avg_q * avg_q)
     diff = cur - last_phase
     pi = jnp.float32(np.pi)
@@ -227,7 +234,7 @@ def _ds_decision(params: FSKParams, dsc, avg_i, avg_q):
     return (cur, (diff, x1, filt, y1)), bit, amp
 
 
-def _group_step(params: FSKParams, carry, x_group):
+def _group_step(params: FSKParams, carry, x_group, atan2=jnp.arctan2):
     """One downsample group: ``ratio`` full-rate samples -> one decision.
     x_group: tuple of ratio [B] sample vectors."""
     fr, dsc = carry
@@ -237,7 +244,8 @@ def _group_step(params: FSKParams, carry, x_group):
         acc_i = fi if acc_i is None else acc_i + fi
         acc_q = fq if acc_q is None else acc_q + fq
     ratio = jnp.float32(params.downsample_ratio)
-    dsc, bit, amp = _ds_decision(params, dsc, acc_i / ratio, acc_q / ratio)
+    dsc, bit, amp = _ds_decision(params, dsc, acc_i / ratio, acc_q / ratio,
+                                 atan2=atan2)
     return (fr, dsc), bit, amp
 
 
@@ -281,6 +289,19 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
         pos = need
 
     n_groups = (T - pos) // ratio
+
+    if n_groups and not FORCE_LAX_SEQ:
+        # Pallas fast path: whole aligned body in one TPU kernel
+        from webaudio_modem_tpu.ops.pallas import fsk_seq
+
+        if fsk_seq.available(B):
+            xm = xT[pos:pos + n_groups * ratio]
+            fr, dsc, bm, am = fsk_seq.seq_main(params, fr, dsc, xm)
+            bits_parts.append(bm)
+            amps_parts.append(am)
+            pos += n_groups * ratio
+            n_groups = 0
+
     main = (n_groups // unroll) * unroll
     if main:
         xs = xT[pos:pos + main * ratio].reshape(

@@ -1,0 +1,174 @@
+"""Pallas TPU kernel for the demodulator's sequential stage.
+
+Replaces the XLA ``lax.scan`` in ops/fsk_demod._sequential_stage for
+the aligned main body: AGC -> pre-filter -> NCO mix -> I/Q LPF ->
+2x average -> atan2 -> phase diff -> post-LPF -> slicer, all per
+downsample group, carried per channel.
+
+Layout strategy: the whole channel batch is one (B/128, 128)
+sublane x lane tile per time step, so every vector op covers ALL
+channels (B=4096 -> 4 VREGs per op, exactly like the XLA path), and
+the time loop runs INSIDE the kernel as a ``fori_loop`` — Mosaic loops
+have none of the XLA While per-iteration overhead that dominated the
+scan.  The grid is 1-D over time blocks (sequential by construction),
+with the 19 carried state tiles living in a VMEM scratch across grid
+steps.  atan2 has no Mosaic lowering, so the kernel injects
+ops/pallas/tpu_math.atan2.
+
+The arithmetic is shared with the lax path (ops/fsk_demod
+._group_step), so the two implementations cannot drift; a differential
+test runs this kernel in interpreter mode against the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from webaudio_modem_tpu.models.config import FSKParams
+
+LANES = 128
+MIN_B = 1024                     # below this the scan path wins anyway
+N_STATE = 19                     # carried state variables
+
+
+def _pack_state(fr, dsc):
+    """fr/dsc pytrees of [B] -> [19, B] (order is the unpack order)."""
+    g, pre, phi, iq_i, iq_q = fr
+    last_phase, post = dsc
+    leaves = [g, *pre, phi, *iq_i, *iq_q, last_phase, *post]
+    assert len(leaves) == N_STATE
+    return jnp.stack(leaves, 0)
+
+
+def _unpack_state(packed):
+    leaves = [packed[i] for i in range(N_STATE)]
+    g = leaves[0]
+    pre = tuple(leaves[1:5])
+    phi = leaves[5]
+    iq_i = tuple(leaves[6:10])
+    iq_q = tuple(leaves[10:14])
+    last_phase = leaves[14]
+    post = tuple(leaves[15:19])
+    return (g, pre, phi, iq_i, iq_q), (last_phase, post)
+
+
+def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
+            x_ref, state_in_ref, bits_ref, amps_ref, state_out_ref,
+            scratch):
+    from webaudio_modem_tpu.ops.fsk_demod import _group_step
+    from webaudio_modem_tpu.ops.pallas.tpu_math import atan2 as tpu_atan2
+
+    t_idx = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    ratio = params.downsample_ratio
+
+    @pl.when(t_idx == 0)
+    def _():
+        scratch[...] = state_in_ref[...]
+
+    carry0 = _unpack_state(tuple(scratch[i] for i in range(N_STATE)))
+
+    base = t_idx * groups_per_block
+    count = jnp.minimum(groups_per_block, n_groups - base)
+
+    def body(i, carry):
+        group = tuple(x_ref[i * ratio + r] for r in range(ratio))
+        new_carry, bit, amp = _group_step(params, carry, group,
+                                          atan2=tpu_atan2)
+        bits_ref[i] = bit
+        amps_ref[i] = amp
+        return new_carry
+
+    carry = jax.lax.fori_loop(0, count, body, carry0)
+
+    packed = _pack_state(*carry)
+    for i in range(N_STATE):
+        scratch[i] = packed[i]
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        state_out_ref[...] = scratch[...]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
+                   interpret: bool, packed_state, xT):
+    """packed_state [19, B]; xT time-major [T_m, B] with
+    T_m == n_groups * ratio.  Returns (packed_state', bits [n_groups, B],
+    amps [n_groups, B])."""
+    ratio = params.downsample_ratio
+    T_m, B = xT.shape
+    rows = B // LANES
+    gpb = T_blk // ratio
+    n_t = pl.cdiv(n_groups, gpb)
+
+    x3 = xT.reshape(T_m, rows, LANES)
+    st3 = packed_state.reshape(N_STATE, rows, LANES)
+
+    kernel = functools.partial(_kernel, params, n_groups, gpb)
+    out_shape = (
+        jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((N_STATE, rows, LANES), jnp.float32),
+    )
+    bits, amps, st_out = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec((T_blk, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_STATE, rows, LANES), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_STATE, rows, LANES), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((N_STATE, rows, LANES), jnp.float32)],
+        interpret=interpret,
+    )(x3, st3)
+
+    bits = bits.reshape(n_t * gpb, B)[:n_groups]
+    amps = amps.reshape(n_t * gpb, B)[:n_groups]
+    return st_out.reshape(N_STATE, B), bits, amps
+
+
+def seq_main(params: FSKParams, fr, dsc, xT_main,
+             T_blk: int = 256, interpret: bool = False):
+    """Pallas path for the aligned main body of the sequential stage.
+
+    xT_main: time-major [n_groups*ratio, B]; B must be a multiple of
+    128 lanes.  Returns (fr', dsc', bits [n_groups, B],
+    amps [n_groups, B]).
+    """
+    T_m, B = xT_main.shape
+    ratio = params.downsample_ratio
+    if B % LANES != 0:
+        raise ValueError(f"Pallas seq kernel needs B % {LANES} == 0")
+    n_groups = T_m // ratio
+    T_blk = min(T_blk, max(T_m, ratio))
+    packed = _pack_state(fr, dsc)
+    packed, bits, amps = _seq_main_call(
+        params, n_groups, T_blk, interpret, packed, xT_main)
+    fr2, dsc2 = _unpack_state(packed)
+    return fr2, dsc2, bits, amps
+
+
+# kept for tests that exercise tile-sized batches explicitly
+TILE = 1024
+
+
+def available(B: int) -> bool:
+    return (B % LANES == 0 and B >= MIN_B
+            and jax.default_backend() == "tpu")
