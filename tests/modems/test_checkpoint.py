@@ -1,0 +1,88 @@
+"""Checkpoint / resume tests (SURVEY.md §5: carried streaming state is
+the checkpointable object)."""
+
+import io
+
+import numpy as np
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKConfig
+from webaudio_modem_tpu.models import checkpoint
+from webaudio_modem_tpu.models.farm import ModemFarm
+
+
+def test_mid_stream_checkpoint_resume_bit_identical(tmp_path):
+    B = 4
+    msgs = [bytes([i]) * 3 for i in range(B)]
+    farm = ModemFarm(DEFAULT_FSK_CONFIG, B, donate=False)
+    sig = np.asarray(farm.modulate(msgs))
+    T = sig.shape[1]
+    cut = (T // 2) | 1  # odd cut: exercises ds_phase carry
+
+    # continuous decode (oracle)
+    oracle = ModemFarm(DEFAULT_FSK_CONFIG, B, donate=False)
+    expected = oracle.demodulate(sig)
+
+    # decode first half, checkpoint mid-stream, resume in a "new process"
+    part1 = farm.demodulate(sig[:, :cut])
+    path = tmp_path / "farm.npz"
+    farm.save(path)
+    del farm
+
+    restored = ModemFarm.restore(path, donate=False)
+    assert restored._ds_phase == cut % 2
+    part2 = restored.demodulate(sig[:, cut:])
+    combined = [a + b for a, b in zip(part1, part2)]
+    assert combined == expected == msgs
+
+
+def test_dumps_loads_roundtrip():
+    from webaudio_modem_tpu.ops import fsk_demod
+    from webaudio_modem_tpu.models.config import FSKParams
+
+    config = FSKConfig(baud_rate=300)
+    params = FSKParams.from_config(config)
+    state = fsk_demod.init_state(params, batch=2)
+    blob = checkpoint.dumps_state(state, config, ds_phase=1)
+    state2, config2, ds_phase = checkpoint.loads_state(blob)
+    assert config2 == config
+    assert ds_phase == 1
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shape_mismatch_rejected():
+    from webaudio_modem_tpu.ops import fsk_demod
+    from webaudio_modem_tpu.models.config import FSKParams
+
+    config = FSKConfig(baud_rate=300)
+    state = fsk_demod.init_state(FSKParams.from_config(config), batch=2)
+    blob = checkpoint.dumps_state(state, config.replace(baud_rate=1200))
+    # config says 1200 baud but windows were sized for 300 baud
+    try:
+        checkpoint.loads_state(blob)
+        assert False, "expected shape mismatch"
+    except ValueError as e:
+        assert "mismatch" in str(e)
+
+
+def test_restore_onto_mesh():
+    import jax
+
+    if len(jax.devices()) < 8:
+        return
+    from webaudio_modem_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(8)
+    B = 8
+    farm = ModemFarm(DEFAULT_FSK_CONFIG, B, donate=False)
+    msgs = [b"m"] * B
+    sig = np.asarray(farm.modulate(msgs))
+    farm.demodulate(sig[:, :1000])
+    blob = io.BytesIO()
+    farm.save(blob)
+    blob.seek(0)
+    restored = ModemFarm.restore(blob, mesh=mesh, donate=False)
+    out = restored.demodulate(sig[:, 1000:])
+    assert out == msgs

@@ -93,6 +93,32 @@ class ModemFarm:
             self.state = shard_state(self.state, self.mesh)
         self._ds_phase = 0
 
+    # -- checkpoint / resume (SURVEY.md §5) ---------------------------------
+
+    def save(self, path) -> None:
+        """Snapshot the full streaming state mid-stream."""
+        from webaudio_modem_tpu.models import checkpoint
+
+        checkpoint.save_state(path, self.state, self.config,
+                              self._ds_phase)
+
+    @classmethod
+    def restore(cls, path, mesh=None, donate: bool = True) -> "ModemFarm":
+        """Resume a farm from a checkpoint; decoding continues
+        bit-identically from where the snapshot was taken."""
+        from webaudio_modem_tpu.models import checkpoint
+
+        state, config, ds_phase = checkpoint.load_state(path, mesh=mesh)
+        farm = cls.__new__(cls)
+        farm.config = config
+        farm.params = FSKParams.from_config(config)
+        farm.batch = int(state.agc_gain.shape[0])
+        farm.mesh = mesh
+        farm._donate = donate
+        farm.state = state
+        farm._ds_phase = ds_phase
+        return farm
+
     # -- observability ------------------------------------------------------
 
     def get_status(self) -> dict:
@@ -102,3 +128,26 @@ class ModemFarm:
             "eod_events": np.asarray(self.state.eod_count),
             "frames_started": np.asarray(self.state.started),
         }
+
+    def get_signal_quality(self):
+        """Per-channel SignalQuality estimates from the carried
+        amplitude windows (the reference declares this surface but
+        stubs it to zeros — fsk.ts:471-479)."""
+        from webaudio_modem_tpu.core import SignalQuality
+
+        amps = np.asarray(self.state.amp_tail)          # [A, B]
+        thr = np.asarray(self.state.threshold)          # [B]
+        out = []
+        for b in range(self.batch):
+            active = amps[:, b][amps[:, b] > thr[b]]
+            if len(active) < 8:
+                out.append(SignalQuality())
+                continue
+            mean = float(active.mean())
+            std = float(active.std())
+            snr = 10 * np.log10((mean ** 2) / (std ** 2 + 1e-12))
+            out.append(SignalQuality(
+                snr=snr,
+                eye_opening=float(np.clip(
+                    1.0 - 2.0 * std / (mean + 1e-12), 0.0, 1.0))))
+        return out

@@ -70,6 +70,8 @@ class XModemTransport(ITransport):
         self._recv_data: List[bytes] = []
         self._recv_buffer: List[int] = []
         self._operation_controller: Optional[AbortController] = None
+        self._rtt_sum = 0.0
+        self._rtt_count = 0
 
     # -- configuration -----------------------------------------------------
 
@@ -147,6 +149,17 @@ class XModemTransport(ITransport):
     def is_ready(self) -> bool:
         return self._state == State.IDLE
 
+    def get_statistics(self):
+        # derived fields computed for real (declared-but-stubbed in the
+        # reference: errorRate/averageRoundTripTime, core.ts:186-187)
+        stats = self.statistics.copy()
+        attempts = stats.packets_sent + stats.packets_received
+        errors = stats.packets_retransmitted + stats.packets_dropped
+        stats.error_rate = errors / attempts if attempts else 0.0
+        stats.average_round_trip_time = (
+            self._rtt_sum / self._rtt_count if self._rtt_count else 0.0)
+        return stats
+
     def get_current_state(self) -> str:
         return self._state.value
 
@@ -155,6 +168,8 @@ class XModemTransport(ITransport):
             self._operation_controller.abort()
             self._operation_controller = None
         super().reset()
+        self._rtt_sum = 0.0
+        self._rtt_count = 0
         self._state_changed(State.IDLE, "Reset called - clearing all state")
         self._send_sequence = 1
         self._send_fragments = []
@@ -203,6 +218,7 @@ class XModemTransport(ITransport):
                 serialized = XModemPacket.serialize(packet)
                 logger.debug("Sending fragment %d/%d seq=%d", idx + 1,
                              len(self._send_fragments), self._send_sequence)
+                t_sent = time.monotonic()
                 await self.data_channel.modulate(serialized)
                 self.statistics.packets_sent += 1
 
@@ -214,6 +230,11 @@ class XModemTransport(ITransport):
                     byte = await self._wait_for_control_byte(
                         self._create_timeout_signal(external))
                     if byte == ControlType.ACK:
+                        # packet-send -> ACK round-trip (the reference
+                        # declares averageRoundTripTime but never
+                        # computes it, core.ts:187/xmodem stats)
+                        self._rtt_sum += (time.monotonic() - t_sent) * 1000
+                        self._rtt_count += 1
                         self._send_retries = 0
                         self._send_fragment_index += 1
                         self._send_sequence = (self._send_sequence % 255) + 1
