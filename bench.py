@@ -20,6 +20,13 @@ import numpy as np
 
 def main():
     import jax
+
+    try:  # persistent compile cache: repeat runs skip remote recompiles
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/wam_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from webaudio_modem_tpu.models.config import FSKConfig, FSKParams

@@ -1,0 +1,84 @@
+"""Differential test: Pallas stage-D kernel (interpreter mode) vs the
+lax scan, on realistic demod intermediate streams."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+from webaudio_modem_tpu.ops.pallas import fsk_framing
+
+
+def _intermediates(params, B, T, seed=0):
+    """Run the real front half of the pipeline on an FSK signal so the
+    stage-D inputs are realistic (sync events actually fire)."""
+    sig = np.asarray(fsk_mod.modulate(params, b"Hi"))[:T]
+    if len(sig) < T:
+        sig = np.pad(sig, (0, T - len(sig)))
+    x = jnp.asarray(np.tile(sig, (B, 1)))
+    state = fsk_demod.init_state(params, B)
+    fr, dsc, _, _, bits, amps = fsk_demod._sequential_stage(
+        params, 0, state, x, unroll=2)
+    ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
+    ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
+    n_ds = bits.shape[0]
+    ratios = fsk_demod._sync_ratios(params, ext_bits)
+    means = fsk_demod._amp_means(params, state, ext_amps, n_ds)
+    t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
+    gate = (t[:, None] + state.bit_fill[None, :]) >= \
+        jnp.int32(params.sync_window)
+    return state, bits, amps, ratios, means, gate
+
+
+@pytest.mark.parametrize("T", [2048, 4096])
+def test_framing_kernel_matches_scan(T):
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = 128
+    state, bits, amps, ratios, means, gate = _intermediates(params, B, T)
+
+    carry_ref, outs_ref = fsk_demod._stage_d(
+        params, state, bits, amps, ratios, means, gate, unroll=2)
+    carry_p, outs_p = fsk_framing.stage_d(
+        params, state, bits, amps, ratios, means, gate,
+        T_blk_groups=256, interpret=True)
+
+    names = ["byte_vals", "emits", "eods", "fires"]
+    for name, a, b in zip(names, outs_p, outs_ref):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name)
+    for i, (a, b) in enumerate(zip(carry_p, carry_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"carry[{i}]")
+
+
+def test_framing_kernel_streaming_carry():
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = 128
+    state, bits, amps, ratios, means, gate = _intermediates(
+        params, B, 4096, seed=1)
+    n = bits.shape[0]
+    half = n // 2
+
+    _, outs_whole = fsk_framing.stage_d(
+        params, state, bits, amps, ratios, means, gate,
+        T_blk_groups=128, interpret=True)
+
+    carry1, outs1 = fsk_framing.stage_d(
+        params, state, bits[:half], amps[:half], ratios[:half],
+        means[:half], gate[:half], T_blk_groups=128, interpret=True)
+    state2 = state._replace(
+        started=carry1[0], counter=carry1[1], sil=carry1[2],
+        threshold=carry1[3], accum=carry1[4], count=carry1[5],
+        bsc=carry1[6], next_idx=carry1[7], byte_cur=carry1[8],
+        pos=carry1[9])
+    _, outs2 = fsk_framing.stage_d(
+        params, state2, bits[half:], amps[half:], ratios[half:],
+        means[half:], gate[half:], T_blk_groups=128, interpret=True)
+
+    for k in range(4):
+        got = np.concatenate([np.asarray(outs1[k]), np.asarray(outs2[k])],
+                             0)
+        np.testing.assert_array_equal(got, np.asarray(outs_whole[k]))

@@ -459,8 +459,12 @@ def _d_step(params: FSKParams, carry, inp):
     parity_on = params.config.parity != "none"
 
     if True:  # keep the original body's indentation
-        (started, counter, sil, thr, accum, count, bsc, nxt,
+        # ``started`` is carried as int32 (0/1): Mosaic cannot lower
+        # select_n on i1 vectors (i8->i1 truncation error), and the lax
+        # path is indifferent.
+        (started_i, counter, sil, thr, accum, count, bsc, nxt,
          byte_cur, pos) = carry
+        started = started_i > 0
         bit, amp, ratio, mean, gate = inp
         bit_i = bit.astype(jnp.int32)
 
@@ -502,8 +506,8 @@ def _d_step(params: FSKParams, carry, inp):
         reset_full = eod | start_fail          # resetState (fsk.ts:175)
         drop_frame = stop_fail | bad           # frame.started = false only
 
-        started2 = jnp.where(reset_full | drop_frame, False,
-                             jnp.where(fire, True, started))
+        started2 = jnp.where(reset_full | drop_frame, jnp.int32(0),
+                             jnp.where(fire, jnp.int32(1), started_i))
         counter2 = jnp.where(reset_full, jnp.int32(0), counter1)
         sil2 = jnp.where(reset_full, jnp.int32(0), sil1)
         thr2 = jnp.where(fire, mean * jnp.float32(0.1), thr)
@@ -527,7 +531,8 @@ def _d_step(params: FSKParams, carry, inp):
                          jnp.where(emit, 0,
                                    jnp.where(ok_advance, pos + 1, pos)))
 
-        out = (byte_cur.astype(jnp.uint8), emit, eod, fire)
+        # byte value stays int32: Mosaic cannot truncate 8-bit vectors
+        out = (byte_cur, emit, eod, fire)
         return (started2, counter2, sil2, thr2, accum2, count2, bsc2,
                 nxt2, byte2, pos2), out
 
@@ -537,11 +542,19 @@ def _stage_d(params: FSKParams, state: DemodState,
              unroll: int = 0):
     """Framing state machine.  All inputs AND outputs time-major
     [n_ds, B]; the scan body is unrolled ``unroll`` steps per iteration
-    (see _UNROLL note)."""
+    (see _UNROLL note).  On TPU with a lane-aligned batch the Pallas
+    kernel (ops/pallas/fsk_framing.py) takes over."""
+    if not FORCE_LAX_SEQ and bits.shape[0] > 0:
+        from webaudio_modem_tpu.ops.pallas import fsk_framing
+
+        if fsk_framing.available(bits.shape[-1]):
+            return fsk_framing.stage_d(params, state, bits, amps,
+                                       ratios, means, gate_fill)
+
     unroll = unroll or _default_unroll()
-    carry = (state.started, state.counter, state.sil, state.threshold,
-             state.accum, state.count, state.bsc, state.next_idx,
-             state.byte_cur, state.pos)
+    carry = (state.started.astype(jnp.int32), state.counter, state.sil,
+             state.threshold, state.accum, state.count, state.bsc,
+             state.next_idx, state.byte_cur, state.pos)
     inputs = (bits, amps, ratios, means, gate_fill)
     n_ds, B = bits.shape
     main = (n_ds // unroll) * unroll
@@ -615,8 +628,9 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
 
     d_carry, (byte_vals, emits, eods, fires) = _stage_d(
         params, state, bits, amps, ratios, means, gate_fill)
-    (started, counter, sil, threshold, accum, count, bsc, next_idx,
+    (started_i, counter, sil, threshold, accum, count, bsc, next_idx,
      byte_cur, pos) = d_carry
+    started = started_i > 0  # stage D carries it as int32 (Mosaic i1)
 
     # Compact time-major (value, valid) pairs into dense rows [B, maxb].
     # NOT a scatter (TPU serializes non-unique-index scatters, ~70 ms at

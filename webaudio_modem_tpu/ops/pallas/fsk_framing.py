@@ -1,0 +1,158 @@
+"""Pallas TPU kernel for the framing state machine (stage D).
+
+Same playbook as fsk_seq.py: all channels in one (B/128, 128) tile per
+step, time loop inside the kernel, 1-D grid over time blocks with the
+10 carried state tiles in VMEM scratch.  The per-step logic is the
+shared ops/fsk_demod._d_step (silence EOD, sync firing, majority-vote
+bit decisions, UART assembly — fsk.ts:278-375), so the lax and Pallas
+paths cannot drift.
+
+The four per-step outputs (byte value, emit, eod, fire) are bit-packed
+into one int32 plane (byte | emit<<8 | eod<<9 | fire<<10) to halve
+output bandwidth; demod_chunk unpacks them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from webaudio_modem_tpu.models.config import FSKParams
+
+LANES = 128
+MIN_B = 1024
+N_I32 = 9   # started, counter, sil, accum, count, bsc, nxt, byte_cur, pos
+N_F32 = 1   # threshold
+
+
+def pack_carry(carry):
+    (started, counter, sil, thr, accum, count, bsc, nxt,
+     byte_cur, pos) = carry
+    ints = jnp.stack([started.astype(jnp.int32), counter, sil, accum,
+                      count, bsc, nxt, byte_cur, pos], 0)
+    return ints, thr[None]
+
+
+def unpack_carry(ints, flts):
+    # started stays int32 — _d_step's carry convention (Mosaic i1 limits)
+    return (ints[0], ints[1], ints[2], flts[0], ints[3], ints[4],
+            ints[5], ints[6], ints[7], ints[8])
+
+
+def _kernel(params: FSKParams, n_ds: int, gpb: int,
+            bits_ref, amps_ref, ratios_ref, means_ref, gate_ref,
+            sti_ref, stf_ref, out_ref, sti_out, stf_out, scr_i, scr_f):
+    from webaudio_modem_tpu.ops.fsk_demod import _d_step
+
+    t_idx = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(t_idx == 0)
+    def _():
+        scr_i[...] = sti_ref[...]
+        scr_f[...] = stf_ref[...]
+
+    carry0 = unpack_carry(
+        tuple(scr_i[i] for i in range(N_I32)),
+        tuple(scr_f[i] for i in range(N_F32)))
+
+    count = jnp.minimum(gpb, n_ds - t_idx * gpb)
+
+    def body(i, carry):
+        inp = (bits_ref[i], amps_ref[i], ratios_ref[i], means_ref[i],
+               gate_ref[i] > jnp.float32(0.5))
+        carry, (byte_i32, emit, eod, fire) = _d_step(params, carry, inp)
+        packed = ((byte_i32 & 0xFF)
+                  | (emit.astype(jnp.int32) << 8)
+                  | (eod.astype(jnp.int32) << 9)
+                  | (fire.astype(jnp.int32) << 10))
+        out_ref[i] = packed
+        return carry
+
+    carry = jax.lax.fori_loop(0, count, body, carry0)
+
+    ints, flts = pack_carry(carry)
+    for i in range(N_I32):
+        scr_i[i] = ints[i]
+    for i in range(N_F32):
+        scr_f[i] = flts[i]
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        sti_out[...] = scr_i[...]
+        stf_out[...] = scr_f[...]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _stage_d_call(params: FSKParams, n_ds: int, gpb: int, interpret: bool,
+                  ints, flts, bits, amps, ratios, means, gate_f32):
+    rows = bits.shape[-1] // LANES
+
+    def r3(a):
+        return a.reshape(a.shape[0], rows, LANES)
+
+    n_t = pl.cdiv(n_ds, gpb)
+    kernel = functools.partial(_kernel, params, n_ds, gpb)
+    in_time_spec = pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+    state_i_spec = pl.BlockSpec((N_I32, rows, LANES), lambda t: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    state_f_spec = pl.BlockSpec((N_F32, rows, LANES), lambda t: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    packed, ints_out, flts_out = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[in_time_spec] * 5 + [state_i_spec, state_f_spec],
+        out_specs=(in_time_spec, state_i_spec, state_f_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((N_I32, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((N_F32, rows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_I32, rows, LANES), jnp.int32),
+            pltpu.VMEM((N_F32, rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(r3(bits), r3(amps), r3(ratios), r3(means), r3(gate_f32),
+      ints.reshape(N_I32, rows, LANES),
+      flts.reshape(N_F32, rows, LANES))
+    B = bits.shape[-1]
+    return (packed.reshape(n_t * gpb, B)[:n_ds],
+            ints_out.reshape(N_I32, B), flts_out.reshape(N_F32, B))
+
+
+def stage_d(params: FSKParams, state, bits, amps, ratios, means,
+            gate_fill, T_blk_groups: int = 64, interpret: bool = False):
+    # T_blk_groups sizes VMEM: 5 input streams + 1 output are double-
+    # buffered per block; 64 groups * (B/128) rows * 128 lanes * 4 B
+    # * 6 streams * 2 ≈ 6 MB at B=4096 — inside the 16 MB budget.
+    """Pallas stage-D; same contract as fsk_demod._stage_d.
+
+    All inputs time-major [n_ds, B]; returns (carry, (byte_vals, emits,
+    eods, fires)) with outputs [n_ds, B].
+    """
+    n_ds, B = bits.shape
+    carry_in = (state.started, state.counter, state.sil, state.threshold,
+                state.accum, state.count, state.bsc, state.next_idx,
+                state.byte_cur, state.pos)
+    ints, flts = pack_carry(carry_in)
+    gpb = min(T_blk_groups, n_ds)
+    packed, ints_out, flts_out = _stage_d_call(
+        params, n_ds, gpb, interpret, ints, flts,
+        bits, amps, ratios, means, gate_fill.astype(jnp.float32))
+    carry = unpack_carry(ints_out, flts_out)
+    byte_vals = packed & 0xFF
+    emits = (packed >> 8 & 1).astype(bool)
+    eods = (packed >> 9 & 1).astype(bool)
+    fires = (packed >> 10 & 1).astype(bool)
+    return carry, (byte_vals, emits, eods, fires)
+
+
+def available(B: int) -> bool:
+    return (B % LANES == 0 and B >= MIN_B
+            and jax.default_backend() == "tpu")
