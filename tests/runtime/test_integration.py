@@ -68,6 +68,24 @@ class TestXModemOverAudio:
         received = await _transfer(graph, sender, receiver, data)
         assert received == data
 
+    async def test_transfer_over_lossy_channel_with_retransmission(self):
+        # burst loss severe enough to corrupt packets: the ARQ layer
+        # must recover via NAK/timeout retransmission (BASELINE cfg 3)
+        from webaudio_modem_tpu.sim import make_dropout_channel
+
+        graph, sender, receiver = _make_stack(
+            channel_fn=make_dropout_channel(drop_probability=0.004,
+                                            seed=11, block=256))
+        sender.configure({"max_payload_size": 24, "max_retries": 8})
+        receiver.configure({"max_retries": 8})
+        data = bytes(range(96))  # 4 fragments through a lossy channel
+        received = await _transfer(graph, sender, receiver, data,
+                                   timeout=600)
+        assert received == data
+        stats = sender.get_statistics()
+        total = stats.packets_sent + stats.packets_retransmitted
+        assert total >= 5  # 4 data + EOT (+ any retransmits)
+
 
 if __name__ == "__main__":  # pragma: no cover
     import sys

@@ -76,7 +76,12 @@ class DemodState(NamedTuple):
     # stage A — DSP recurrences
     agc_gain: jax.Array        # f32 [B]   (AGCProcessor.currentGain)
     pre: Tuple[jax.Array, ...]   # 4 x f32 [B] biquad x1,x2,y1,y2
-    phi: jax.Array             # f32 [B]   NCO phase (iqState.localOscPhase)
+    # NCO as a unit phasor (cos, sin) advanced by a rotation recurrence
+    # with first-order renormalization — 6 mul/add per sample instead of
+    # sin+cos.  Equivalent to the reference's accumulated localOscPhase
+    # (fsk.ts:228-232): any slow phase drift is common to I and Q and
+    # cancels in the phase-difference discriminator.
+    phi: Tuple[jax.Array, ...]   # 2 x f32 [B]: (nco_cos, nco_sin)
     iq_i: Tuple[jax.Array, ...]  # 4 x f32 [B]
     iq_q: Tuple[jax.Array, ...]  # 4 x f32 [B]
     ds_iacc: jax.Array         # f32 [B]   pending downsample accumulators
@@ -124,7 +129,8 @@ def init_state(params: FSKParams, batch: int = 1) -> DemodState:
     biq = lambda: (z(), z(), z(), z())  # noqa: E731
     return DemodState(
         agc_gain=jnp.ones((batch,), jnp.float32),
-        pre=biq(), phi=z(), iq_i=biq(), iq_q=biq(),
+        pre=biq(), phi=(jnp.ones((batch,), jnp.float32), z()),
+        iq_i=biq(), iq_q=biq(),
         ds_iacc=z(), ds_qacc=z(),
         last_phase=z(), post=biq(),
         bit_tail=jnp.zeros((params.sync_window, batch), jnp.float32),
@@ -179,10 +185,8 @@ def _full_rate_step(params: FSKParams, fr, x_t):
     (fsk.ts:52-76, 199-202, 228-238).  fr fields are [B]."""
     pb0, pb1, pb2, pa1, pa2 = [jnp.float32(c) for c in params.pre_filter]
     ib0, ib1, ib2, ia1, ia2 = [jnp.float32(c) for c in params.iq_filter]
-    omega = jnp.float32(_TWO_PI * params.center_freq / params.sample_rate)
-    two_pi = jnp.float32(_TWO_PI)
 
-    g, (px1, px2, py1, py2), phi, \
+    g, (px1, px2, py1, py2), (nc, ns), \
         (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2) = fr
     if params.config.agc_enabled:
         y = x_t * g
@@ -201,16 +205,24 @@ def _full_rate_step(params: FSKParams, fr, x_t):
     f = pb0 * y + pb1 * px1 + pb2 * px2 - pa1 * py1 - pa2 * py2
     px2, px1 = px1, y
     py2, py1 = py1, f
-    i_r = f * jnp.cos(phi)
-    q_r = f * jnp.sin(phi)
-    phi = jnp.mod(phi + omega, two_pi)
+    i_r = f * nc
+    q_r = f * ns
+    # rotate the phasor by omega and renormalize to first order
+    cw = jnp.float32(np.cos(_TWO_PI * params.center_freq
+                            / params.sample_rate))
+    sw = jnp.float32(np.sin(_TWO_PI * params.center_freq
+                            / params.sample_rate))
+    nc2 = nc * cw - ns * sw
+    ns2 = ns * cw + nc * sw
+    k = jnp.float32(1.5) - jnp.float32(0.5) * (nc2 * nc2 + ns2 * ns2)
+    nc, ns = nc2 * k, ns2 * k
     fi = ib0 * i_r + ib1 * ix1 + ib2 * ix2 - ia1 * iy1 - ia2 * iy2
     ix2, ix1 = ix1, i_r
     iy2, iy1 = iy1, fi
     fq = ib0 * q_r + ib1 * qx1 + ib2 * qx2 - ia1 * qy1 - ia2 * qy2
     qx2, qx1 = qx1, q_r
     qy2, qy1 = qy1, fq
-    fr = (g, (px1, px2, py1, py2), phi,
+    fr = (g, (px1, px2, py1, py2), (nc, ns),
           (ix1, ix2, iy1, iy2), (qx1, qx2, qy1, qy2))
     return fr, fi, fq
 

@@ -33,14 +33,14 @@ from webaudio_modem_tpu.models.config import FSKParams
 
 LANES = 128
 MIN_B = 1024                     # below this the scan path wins anyway
-N_STATE = 19                     # carried state variables
+N_STATE = 20                     # carried state variables
 
 
 def _pack_state(fr, dsc):
-    """fr/dsc pytrees of [B] -> [19, B] (order is the unpack order)."""
-    g, pre, phi, iq_i, iq_q = fr
+    """fr/dsc pytrees of [B] -> [N_STATE, B] (order = unpack order)."""
+    g, pre, (nco_c, nco_s), iq_i, iq_q = fr
     last_phase, post = dsc
-    leaves = [g, *pre, phi, *iq_i, *iq_q, last_phase, *post]
+    leaves = [g, *pre, nco_c, nco_s, *iq_i, *iq_q, last_phase, *post]
     assert len(leaves) == N_STATE
     return jnp.stack(leaves, 0)
 
@@ -49,12 +49,12 @@ def _unpack_state(packed):
     leaves = [packed[i] for i in range(N_STATE)]
     g = leaves[0]
     pre = tuple(leaves[1:5])
-    phi = leaves[5]
-    iq_i = tuple(leaves[6:10])
-    iq_q = tuple(leaves[10:14])
-    last_phase = leaves[14]
-    post = tuple(leaves[15:19])
-    return (g, pre, phi, iq_i, iq_q), (last_phase, post)
+    nco = (leaves[5], leaves[6])
+    iq_i = tuple(leaves[7:11])
+    iq_q = tuple(leaves[11:15])
+    last_phase = leaves[15]
+    post = tuple(leaves[16:20])
+    return (g, pre, nco, iq_i, iq_q), (last_phase, post)
 
 
 def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
