@@ -27,14 +27,16 @@ Stage map (reference -> here):
      preamble+SFD bit pattern against a ring buffer per ¼-bit position
      inside the hot loop (fsk.ts:297-315, O(pattern·dsPerBit) per
      check).  Here the match count for EVERY position is computed at
-     once as a 2-channel 1-D convolution (im2col -> MXU matmul), using
-     the identity  eq(b,q) = 1 - b - q + 2bq  so one conv channel
-     carries Σ b·q and the other Σ b.  The reference's off-by-one
+     once by an exact block-sum decomposition (see _sync_ratios): each
+     pattern bit covers a ds-wide block, so matches are ds-wide rolling
+     bit sums — one cumsum + O(pattern_bits) static slices per chunk.
+     A 2-channel convolution formulation (_sync_ratios_conv) is kept as
+     a cross-check oracle.  The reference's off-by-one
      (``preambleSfdBits[patternBits - j]`` is out-of-bounds for j==0,
      so the newest bit-block never matches but still counts toward the
-     total — fsk.ts:306-307) is reproduced by zeroing that block in the
-     kernel's valid mask.  The rolling amplitude mean used for the
-     adaptive silence threshold (fsk.ts:321-326) is a cumsum window.
+     total — fsk.ts:306-307) is reproduced exactly.  The rolling
+     amplitude mean used for the adaptive silence threshold
+     (fsk.ts:321-326) is a cumsum window.
   D. framing state machine — silence EOD (fsk.ts:284-295), sync firing
      (fsk.ts:315-327), majority-vote bit decisions (fsk.ts:330-341) and
      UART byte assembly (fsk.ts:346-375) as a branchless integer

@@ -76,15 +76,37 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
     base = t_idx * groups_per_block
     count = jnp.minimum(groups_per_block, n_groups - base)
 
-    def body(i, carry):
-        group = tuple(x_ref[i * ratio + r] for r in range(ratio))
-        new_carry, bit, amp = _group_step(params, carry, group,
+    # In-kernel unrolling: each fori iteration loads one contiguous
+    # UNROLL-group slab and stores one slab of decisions, amortizing
+    # dynamic-index memory ops over UNROLL groups of compute.
+    UNROLL = 4
+    n_main_iters = count // UNROLL
+
+    def body_u(j, carry):
+        slab = x_ref[pl.ds(j * (UNROLL * ratio), UNROLL * ratio)]
+        bits_u, amps_u = [], []
+        for u in range(UNROLL):
+            group = tuple(slab[u * ratio + r] for r in range(ratio))
+            carry, bit, amp = _group_step(params, carry, group,
                                           atan2=tpu_atan2)
+            bits_u.append(bit)
+            amps_u.append(amp)
+        bits_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(bits_u)
+        amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n_main_iters, body_u, carry0)
+
+    def body_tail(i, carry):
+        group = tuple(x_ref[i * ratio + r] for r in range(ratio))
+        carry, bit, amp = _group_step(params, carry, group,
+                                      atan2=tpu_atan2)
         bits_ref[i] = bit
         amps_ref[i] = amp
-        return new_carry
+        return carry
 
-    carry = jax.lax.fori_loop(0, count, body, carry0)
+    carry = jax.lax.fori_loop(n_main_iters * UNROLL, count, body_tail,
+                              carry)
 
     packed = _pack_state(*carry)
     for i in range(N_STATE):
