@@ -46,6 +46,17 @@ class TestBERSweep:
                          demodulate=golden_demodulate(BELL202))
         assert dev[0].ber == gold[0].ber == 0.0
 
+    def test_device_parity_in_failure_region(self):
+        # deep degradation (-6 dB): both implementations must make the
+        # SAME errors on the same noise (docs/BER_RESULTS.md)
+        snrs = [-6.0]
+        dev = ber_sweep(BELL202, snrs, messages_per_point=6, seed=99)
+        gold = ber_sweep(BELL202, snrs, messages_per_point=6, seed=99,
+                         demodulate=golden_demodulate(BELL202))
+        assert dev[0].bit_errors == gold[0].bit_errors
+        assert dev[0].byte_errors == gold[0].byte_errors
+        assert dev[0].bit_errors > 0  # genuinely in the failure region
+
     def test_point_properties(self):
         p = BERPoint(snr_db=10, messages=4, byte_errors=1, bit_errors=3,
                      total_bits=96)
