@@ -11,6 +11,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from webaudio_modem_tpu.utils.platform import ensure_env_platform  # noqa: E402
+
+ensure_env_platform()
+
 from webaudio_modem_tpu.models.config import FSKConfig  # noqa: E402
 from webaudio_modem_tpu.sim.ber import (ber_sweep,  # noqa: E402
                                         golden_demodulate)

@@ -18,6 +18,10 @@ import time
 
 sys.path.insert(0, ".")
 
+from webaudio_modem_tpu.utils.platform import ensure_env_platform  # noqa: E402
+
+ensure_env_platform()
+
 from webaudio_modem_tpu.models.config import FSKConfig  # noqa: E402
 from webaudio_modem_tpu.runtime import AudioGraph, FSKProcessor  # noqa: E402
 from webaudio_modem_tpu.sim import make_awgn_channel  # noqa: E402
