@@ -5,3 +5,8 @@ from webaudio_modem_tpu.models.config import (  # noqa: F401
 )
 from webaudio_modem_tpu.models.fsk import FSKCore  # noqa: F401
 from webaudio_modem_tpu.models.farm import ModemFarm  # noqa: F401
+from webaudio_modem_tpu.models.psk import (  # noqa: F401
+    DEFAULT_PSK_CONFIG,
+    PSKConfig,
+    PSKCore,
+)
