@@ -123,3 +123,14 @@ class TestPSKOverTransport:
             graph.stop()
             await drive
         assert received == data
+
+
+class TestPSKFarm:
+    def test_psk_farm_batch_decode(self):
+        from webaudio_modem_tpu.models.farm import ModemFarm
+
+        B = 8
+        msgs = [bytes([i, 0x42]) for i in range(B)]
+        farm = ModemFarm(DEFAULT_PSK_CONFIG, B, donate=False)
+        sig = np.asarray(farm.modulate(msgs))
+        assert farm.demodulate(sig, chunk_size=2048) == msgs

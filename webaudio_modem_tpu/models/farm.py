@@ -22,16 +22,54 @@ from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
 from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
 
 
+def _resolve_family(config):
+    """Map a config object to its (ops module, derived params)."""
+    from webaudio_modem_tpu.models.psk import PSKConfig
+
+    if isinstance(config, PSKConfig):
+        from webaudio_modem_tpu.ops import psk as psk_ops
+
+        params = psk_ops.psk_params(
+            carrier_frequency=config.carrier_frequency,
+            baud_rate=config.baud_rate,
+            sample_rate=config.sample_rate,
+            preamble_pattern=tuple(config.preamble_pattern),
+            sfd_pattern=tuple(config.sfd_pattern),
+            start_bits=config.start_bits,
+            stop_bits=config.stop_bits,
+            parity=config.parity,
+            sync_threshold=config.sync_threshold,
+            agc_enabled=config.agc_enabled,
+            pre_filter_bandwidth=config.pre_filter_bandwidth)
+
+        class _PskOps:
+            init_state = staticmethod(psk_ops.init_state)
+            make_demod_chunk = staticmethod(psk_ops.make_demod_chunk)
+            modulate_batch = staticmethod(psk_ops.modulate_batch)
+
+        return _PskOps, params
+
+    class _FskOps:
+        init_state = staticmethod(fsk_demod.init_state)
+        make_demod_chunk = staticmethod(fsk_demod.make_demod_chunk)
+        modulate_batch = staticmethod(fsk_mod.modulate_batch)
+
+    return _FskOps, FSKParams.from_config(config)
+
+
 class ModemFarm:
-    def __init__(self, config: FSKConfig, batch: int,
+    def __init__(self, config, batch: int,
                  mesh: Optional["jax.sharding.Mesh"] = None,
                  donate: bool = True):
+        """``config`` selects the model family: an FSKConfig runs the
+        FSK pipeline; a models.psk.PSKConfig runs DBPSK on the same
+        shared stages."""
         self.config = config
-        self.params = FSKParams.from_config(config)
+        self._ops, self.params = _resolve_family(config)
         self.batch = batch
         self.mesh = mesh
         self._donate = donate
-        self.state = fsk_demod.init_state(self.params, batch)
+        self.state = self._ops.init_state(self.params, batch)
         if mesh is not None:
             from webaudio_modem_tpu.parallel.sharding import shard_state
 
@@ -44,7 +82,7 @@ class ModemFarm:
         """[B] equal-length messages -> [B, T] signal batch."""
         if len(messages) != self.batch:
             raise ValueError(f"expected {self.batch} messages")
-        sig = fsk_mod.modulate_batch(self.params, messages)
+        sig = self._ops.modulate_batch(self.params, messages)
         if self.mesh is not None:
             from webaudio_modem_tpu.parallel.sharding import channel_sharding
 
@@ -56,7 +94,7 @@ class ModemFarm:
     def demodulate_chunk(self, samples) -> fsk_demod.DemodOut:
         """Feed one [B, T] frame; returns the raw DemodOut (device
         arrays).  Use ``collect_bytes`` to decode host-side."""
-        step = fsk_demod.make_demod_chunk(self.params, self._ds_phase,
+        step = self._ops.make_demod_chunk(self.params, self._ds_phase,
                                           donate=self._donate)
         self.state, out = step(self.state, samples)
         self._ds_phase = (self._ds_phase + samples.shape[-1]) \
@@ -86,7 +124,7 @@ class ModemFarm:
         return [bytes(c) for c in collected]
 
     def reset(self) -> None:
-        self.state = fsk_demod.init_state(self.params, self.batch)
+        self.state = self._ops.init_state(self.params, self.batch)
         if self.mesh is not None:
             from webaudio_modem_tpu.parallel.sharding import shard_state
 
@@ -111,7 +149,7 @@ class ModemFarm:
         state, config, ds_phase = checkpoint.load_state(path, mesh=mesh)
         farm = cls.__new__(cls)
         farm.config = config
-        farm.params = FSKParams.from_config(config)
+        farm._ops, farm.params = _resolve_family(config)
         farm.batch = int(state.agc_gain.shape[0])
         farm.mesh = mesh
         farm._donate = donate
