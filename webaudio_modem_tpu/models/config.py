@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Literal, Mapping, Optional, Tuple
+from typing import Literal, Mapping, Tuple
 
 Parity = Literal["none", "even", "odd"]
 

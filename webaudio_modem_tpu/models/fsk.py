@@ -15,8 +15,7 @@ from typing import Optional
 import numpy as np
 
 from webaudio_modem_tpu.core import IModulator, SignalQuality
-from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG, FSKConfig,
-                                              FSKParams)
+from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
 from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
 
 

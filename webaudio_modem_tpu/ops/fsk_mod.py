@@ -21,6 +21,8 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
+import jax
+
 from webaudio_modem_tpu.models.config import FSKParams, _framed_bits
 
 
@@ -61,8 +63,7 @@ def _phase_tables(params: FSKParams,
     return np.mod(offsets, two_pi), omega
 
 
-@functools.partial(
-    __import__("jax").jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def _synth(offsets, omega, samples_per_bit: int, pad: Tuple[int, int]):
     """Device synthesis: [..., n_bits] phase tables -> [..., T] signal."""
     import jax.numpy as jnp
