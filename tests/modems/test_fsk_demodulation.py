@@ -190,6 +190,18 @@ class TestRobustness:
         sig = (core.modulate_data(data) * 0.3 + 0.2).astype(np.float32)
         assert core.demodulate_data(sig) == data
 
+    def test_combined_impairments(self, core):
+        # attenuation + DC offset + 28 dB noise + timing offset at once,
+        # differential against the golden comparator
+        rng = np.random.RandomState(77)
+        data = b"\x5a\xa5"
+        sig = core.modulate_data(data) * np.float32(0.25)
+        sig = add_noise(sig, 28, rng) + np.float32(0.1)
+        sig = np.concatenate([np.zeros(313, np.float32), sig])
+        out = core.demodulate_data(sig)
+        golden = GoldenFSK(DEFAULT_FSK_CONFIG)
+        assert out == golden.demodulate(sig) == data
+
 
 class TestFalsePositives:
     # reference fsk-false-positive.node.test.ts
