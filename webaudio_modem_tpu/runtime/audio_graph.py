@@ -27,10 +27,11 @@ ChannelFn = Callable[[np.ndarray], np.ndarray]
 class AudioGraph:
     def __init__(self, quantum: int = AUDIO_CHUNK_SIZE,
                  channel_fn: Optional[ChannelFn] = None,
-                 gain: float = 1.0):
+                 gain: float = 1.0, sample_rate: int = 48000):
         self.quantum = quantum
         self.channel_fn = channel_fn
         self.gain = gain
+        self.sample_rate = sample_rate
         self.processors: List[IAudioProcessor] = []
         self._next_inputs: List[np.ndarray] = []
         self._running = False
@@ -59,16 +60,28 @@ class AudioGraph:
         return mix
 
     async def run(self, max_steps: Optional[int] = None,
-                  yield_every: int = 4) -> None:
+                  yield_every: int = 4, realtime: bool = False) -> None:
         """Drive the graph until stopped (or ``max_steps``), yielding to
-        the event loop so protocol coroutines interleave."""
+        the event loop so protocol coroutines interleave.
+
+        ``realtime=True`` paces rendering at the audio clock (the
+        browser render-thread budget, core.ts:31): each quantum is
+        released no earlier than its wall-clock deadline.
+        """
+        import time
+
         self._running = True
         n = 0
+        start = time.monotonic()
         try:
             while self._running and (max_steps is None or n < max_steps):
                 self.step()
                 n += 1
-                if n % yield_every == 0:
+                if realtime:
+                    deadline = start + n * self.quantum / self.sample_rate
+                    delay = deadline - time.monotonic()
+                    await asyncio.sleep(max(delay, 0))
+                elif n % yield_every == 0:
                     await asyncio.sleep(0)
         finally:
             self._running = False
