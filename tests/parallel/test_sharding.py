@@ -56,6 +56,33 @@ def test_streaming_chunks_sharded(mesh):
     assert out == msgs
 
 
+def test_psk_farm_on_mesh(mesh):
+    """0-d state leaves (PSK delay-line index) must replicate, not
+    crash device_put (round-1 advisor finding)."""
+    from webaudio_modem_tpu.models.psk import PSKConfig
+
+    B = 16
+    farm = ModemFarm(PSKConfig(), B, mesh=mesh, donate=False)
+    assert farm.state.zidx.ndim == 0
+    msgs = [bytes([65 + i]) * 2 for i in range(B)]
+    sig = np.asarray(farm.modulate(msgs))
+    assert farm.demodulate(sig) == msgs
+
+
+def test_shard_state_replicates_0d_leaves(mesh):
+    from webaudio_modem_tpu.models.psk import PSKConfig
+    from webaudio_modem_tpu.ops import psk as psk_ops
+
+    cfg = PSKConfig()
+    params = psk_ops.psk_params(
+        carrier_frequency=cfg.carrier_frequency, baud_rate=cfg.baud_rate,
+        sample_rate=cfg.sample_rate)
+    state = psk_ops.init_state(params, batch=16)
+    sharded = shard_state(state, mesh)
+    assert sharded.zidx.sharding.is_fully_replicated
+    assert sharded.zbuf_i.addressable_shards[0].data.shape[1] == 2
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
 

@@ -174,7 +174,14 @@ _UNROLL = 16
 def _default_unroll() -> int:
     # XLA:CPU degrades badly (compile and run time) on large scan
     # bodies; XLA:TPU wants them large to amortize While overhead.
-    return 2 if jax.default_backend() == "cpu" else _UNROLL
+    # Never let a broken default backend take down a CPU-pinned trace
+    # (the driver's multichip dryrun runs in a process whose default
+    # backend may be an unusable TPU).
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return 2 if backend == "cpu" else _UNROLL
 
 
 # Escape hatch to force the lax.scan sequential stage even when the

@@ -154,5 +154,9 @@ def stage_d(params: FSKParams, state, bits, amps, ratios, means,
 
 
 def available(B: int) -> bool:
-    return (B % LANES == 0 and B >= MIN_B
-            and jax.default_backend() == "tpu")
+    if B % LANES != 0 or B < MIN_B:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # broken/unusable default backend — lax path
+        return False

@@ -192,5 +192,9 @@ TILE = 1024
 
 
 def available(B: int) -> bool:
-    return (B % LANES == 0 and B >= MIN_B
-            and jax.default_backend() == "tpu")
+    if B % LANES != 0 or B < MIN_B:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # broken/unusable default backend — lax path
+        return False

@@ -43,12 +43,19 @@ def channel_sharding(mesh: Mesh,
 
 
 def shard_state(state, mesh: Mesh, axis_name: str = CHANNEL_AXIS):
-    """Place a DemodState pytree with the channel axis sharded over
+    """Place a demod-state pytree with the channel axis sharded over
     ``mesh``.  Channel position by leaf rank: 1-D leaves are [B];
-    2-D leaves (the time-major carried windows) are [T, B]."""
+    leaves of rank >= 2 (the time-major carried windows) are [..., B];
+    0-d leaves (e.g. the PSK delay-line index, shared by every channel)
+    are replicated."""
 
     def place(x):
-        spec = P(axis_name) if x.ndim == 1 else P(None, axis_name)
+        if x.ndim == 0:
+            spec = P()
+        elif x.ndim == 1:
+            spec = P(axis_name)
+        else:
+            spec = P(*([None] * (x.ndim - 1)), axis_name)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, state)
