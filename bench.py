@@ -58,30 +58,42 @@ def main():
     state = fsk_demod.init_state(params, batch=B)
     step = fsk_demod.make_demod_chunk(params, 0, donate=True)
 
-    # warmup / compile + correctness check
-    decoded = bytearray()
-    state, out = step(state, chunks[0])
-    decoded += bytes(np.asarray(out.bytes_out[0][:int(out.byte_count[0])]))
-    state, out = step(state, chunks[1 % n_chunks_cycle])
-    decoded += bytes(np.asarray(out.bytes_out[0][:int(out.byte_count[0])]))
+    # warmup / compile + correctness GATE: the first full message must
+    # decode EXACTLY on multiple channels — a pipeline that syncs but
+    # produces garbage fails the bench loudly.
+    check_channels = sorted({0, B // 2, B - 1})
+    decoded = {c: bytearray() for c in check_channels}
+    warm_chunks = int(np.ceil(len(sig) / chunk_t)) + 1
+    for i in range(warm_chunks):
+        state, out = step(state, chunks[i % n_chunks_cycle])
+        counts = np.asarray(out.byte_count)
+        vals = np.asarray(out.bytes_out)
+        for c in check_channels:
+            decoded[c] += bytes(vals[c, :counts[c]])
     jax.block_until_ready(state)
+    for c in check_channels:
+        assert message in bytes(decoded[c]), (
+            f"bench warmup failed exact decode on channel {c}: "
+            f"{bytes(decoded[c])!r}")
 
     t0 = time.perf_counter()
+    byte_counts = []
     for i in range(timed_chunks):
-        state, out = step(state, chunks[(i + 2) % n_chunks_cycle])
+        state, out = step(state,
+                          chunks[(i + warm_chunks) % n_chunks_cycle])
+        byte_counts.append(out.byte_count)
     jax.block_until_ready(state)
     wall = time.perf_counter() - t0
 
-    # correctness sanity on the stream
     syncs = int(np.asarray(state.sync_count)[0])
-    assert message in bytes(decoded) or syncs > 0, \
-        "bench stream failed to decode"
+    decoded_bytes = int(sum(np.asarray(c).sum() for c in byte_counts))
 
     audio_seconds = timed_chunks * chunk_t / config.sample_rate
     channels_realtime = B * audio_seconds / wall
     print(f"B={B} wall={wall:.3f}s audio={audio_seconds:.1f}s "
           f"throughput={B * timed_chunks * chunk_t / wall / 1e6:.0f} "
-          f"Msamples/s syncs(ch0)={syncs}", file=sys.stderr)
+          f"Msamples/s decoded={decoded_bytes / wall / 1e3:.0f} kB/s "
+          f"syncs(ch0)={syncs}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "concurrent_300baud_channels_realtime",

@@ -82,6 +82,11 @@ async def main() -> int:
     print(f"sender stats: {stats.packets_sent} packets, "
           f"{stats.packets_retransmitted} retransmitted, "
           f"{stats.bytes_transferred} bytes")
+    from webaudio_modem_tpu.utils.trace import metrics
+    snap = metrics.snapshot()
+    print(f"metrics: {snap['counters']}")
+    if "farm.chunk" in snap["timings"]:
+        print(f"farm.chunk: {snap['timings']['farm.chunk']}")
     return 0 if ok else 1
 
 

@@ -67,6 +67,80 @@ def test_shape_mismatch_rejected():
         assert "mismatch" in str(e)
 
 
+def test_psk_mid_stream_checkpoint_resume_bit_identical(tmp_path):
+    """Checkpointing is family-generic: a PSK farm snapshots and
+    resumes bit-identically (round-1 advisor finding: FSK-only
+    serialization crashed on PSK)."""
+    from webaudio_modem_tpu.models.psk import PSKConfig
+
+    B = 4
+    cfg = PSKConfig()
+    msgs = [bytes([0x30 + i]) * 3 for i in range(B)]
+    farm = ModemFarm(cfg, B, donate=False)
+    sig = np.asarray(farm.modulate(msgs))
+    T = sig.shape[1]
+    cut = (T // 2) | 1  # odd cut: exercises ds_phase carry
+
+    oracle = ModemFarm(cfg, B, donate=False)
+    expected = oracle.demodulate(sig)
+
+    part1 = farm.demodulate(sig[:, :cut])
+    path = tmp_path / "psk_farm.npz"
+    farm.save(path)
+    del farm
+
+    restored = ModemFarm.restore(path, donate=False)
+    assert isinstance(restored.config, PSKConfig)
+    assert restored._ds_phase == cut % 2
+    part2 = restored.demodulate(sig[:, cut:])
+    combined = [a + b for a, b in zip(part1, part2)]
+    assert combined == expected == msgs
+
+
+def test_psk_dumps_loads_roundtrip():
+    from webaudio_modem_tpu.models.psk import PSKConfig
+    from webaudio_modem_tpu.ops import psk as psk_ops
+
+    cfg = PSKConfig(baud_rate=300)
+    params = psk_ops.psk_params(carrier_frequency=cfg.carrier_frequency,
+                                baud_rate=cfg.baud_rate,
+                                sample_rate=cfg.sample_rate)
+    state = psk_ops.init_state(params, batch=2)
+    blob = checkpoint.dumps_state(state, cfg, ds_phase=1)
+    state2, cfg2, ds_phase = checkpoint.loads_state(blob)
+    assert cfg2 == cfg
+    assert ds_phase == 1
+    assert type(state2).__name__ == "PSKDemodState"
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unknown_family_rejected():
+    import json
+
+    config = FSKConfig(baud_rate=300)
+    from webaudio_modem_tpu.ops import fsk_demod
+    from webaudio_modem_tpu.models.config import FSKParams
+
+    state = fsk_demod.init_state(FSKParams.from_config(config), batch=1)
+    blob = checkpoint.dumps_state(state, config)
+    # tamper the family tag
+    with np.load(io.BytesIO(blob)) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        meta["family"] = "qam"
+        arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    try:
+        checkpoint.loads_state(buf.getvalue())
+        assert False, "expected unknown-family error"
+    except ValueError as e:
+        assert "family" in str(e)
+
+
 def test_restore_onto_mesh():
     import jax
 

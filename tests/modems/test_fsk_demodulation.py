@@ -122,10 +122,10 @@ class TestChunkedStreaming:
         assert out == data
 
     @pytest.mark.parametrize("offset", [0, 1, 7, 31, 63, 64, 65, 97, 127])
-    def test_start_offsets(self, core, offset):
-        # reference fsk-demodulation.node.test.ts:668-716 runs all 128
-        # offsets; a representative spread (incl. odd/even parity around
-        # the downsample boundary) keeps CI fast — bench covers the rest.
+    def test_start_offsets_streaming(self, core, offset):
+        # per-offset spot checks through the B=1 streaming path in
+        # 128-sample chunks; the FULL 128/128 matrix is asserted by
+        # test_all_128_offsets_batched below.
         data = b"OF"
         sig = core.modulate_data(data)
         padded = np.concatenate([np.zeros(offset, np.float32), sig])
@@ -133,6 +133,26 @@ class TestChunkedStreaming:
         for i in range(0, len(padded), 128):
             out += core.demodulate_data(padded[i:i + 128])
         assert out == data
+
+    def test_all_128_offsets_batched(self):
+        # reference fsk-demodulation.node.test.ts:668-716 asserts that
+        # EVERY one of the 128 chunk start offsets decodes.  The
+        # TPU-idiomatic form: one [128, T] farm call where channel b
+        # carries the signal shifted by b samples.
+        from webaudio_modem_tpu.models.farm import ModemFarm
+
+        data = b"OF"
+        c = FSKCore(DEFAULT_FSK_CONFIG)
+        sig = np.asarray(c.modulate_data(data))
+        B = 128
+        T = len(sig) + B
+        mat = np.zeros((B, T), np.float32)
+        for b in range(B):
+            mat[b, b:b + len(sig)] = sig
+        farm = ModemFarm(DEFAULT_FSK_CONFIG, B, donate=False)
+        out = farm.demodulate(mat, chunk_size=1024)
+        bad = [b for b in range(B) if out[b] != data]
+        assert not bad, f"offsets failed to decode: {bad}"
 
     def test_silence_prefix(self, core):
         # reference fsk-demodulation.node.test.ts:400-437
@@ -153,6 +173,38 @@ class TestChunkedStreaming:
         assert out == b"\x11\x22"
         assert core.get_status()["sync_detections"] == 2
         assert len(eods) >= 2  # per-frame EOD (fsk-sfd.node.test.ts:139-159)
+
+    def test_reset_preserves_amp_window_agc_threshold(self, core):
+        # reference reset() (fsk.ts:464-469 + resetState :175-188)
+        # keeps the AGC gain, pre-filter state, sync *amplitude* buffer
+        # and silence threshold while clearing bit/framing state —
+        # differential vs the golden scalar oracle.
+        data = b"RST"
+        sig = core.modulate_data(data)
+        golden = GoldenFSK(DEFAULT_FSK_CONFIG)
+        cut = len(sig) // 3  # mid-flight: amp window + AGC are warm
+        core.demodulate_data(sig[:cut])
+        golden.demodulate(sig[:cut])
+        core.reset()
+        golden.reset()
+        out_c = core.demodulate_data(sig)
+        out_g = golden.demodulate(sig)
+        assert out_c == out_g == data
+        st = core.get_status()
+        assert st["silence_threshold"] == pytest.approx(
+            golden._silence_threshold, rel=1e-5)
+        assert st["sync_detections"] == golden.sync_detections
+
+    def test_reset_clears_framing_state(self, core):
+        # after reset, a fresh transmission must decode with exactly
+        # one new sync and no residue from the aborted frame
+        sig = core.modulate_data(b"\xAA\x55")
+        core.demodulate_data(sig[:len(sig) * 2 // 3])  # abandon mid-frame
+        core.reset()
+        assert core.get_status()["sync_detections"] == 0
+        assert not core.get_status()["frame_started"]
+        assert core.demodulate_data(sig) == b"\xAA\x55"
+        assert core.get_status()["sync_detections"] == 1
 
     def test_no_accumulation_across_calls(self, core):
         # reference fsk-false-positive.node.test.ts:208-243

@@ -102,6 +102,24 @@ class TestQueueDataChannel:
             await channel.demodulate(signal=controller.signal)
         await task
 
+    async def test_reset_drops_pending_waiters(self, channel):
+        # reference mock reset() discards demodulateResolvers but keeps
+        # sent/queued data (xmodem.node.test.ts:143-151)
+        await channel.modulate(b"\x99")
+        waiter = asyncio.ensure_future(channel.demodulate())
+        await asyncio.sleep(0)           # let the waiter park
+        await channel.reset()
+        with pytest.raises(AbortError):
+            await waiter
+        assert channel.sent_data == [b"\x99"]  # kept for inspection
+        channel.add_received_data(b"ok")       # channel still usable
+        assert await channel.demodulate() == b"ok"
+
+    async def test_reset_keeps_queued_data(self, channel):
+        channel.add_received_data(b"\x01")
+        await channel.reset()
+        assert await channel.demodulate() == b"\x01"
+
 
 # -- send path ---------------------------------------------------------------
 

@@ -1,12 +1,18 @@
-"""Checkpoint / resume for streaming demodulator state.
+"""Checkpoint / resume for streaming demodulator state — any family.
 
 SURVEY.md §5: the reference's only durable-state analog is the
 carry-over streaming state (NCO phase, filter histories, sync windows,
 framing registers — fsk.ts:102-131) held in a mutable object.  Here
-that state is an explicit ``DemodState`` pytree, so checkpointing is a
-serialization of the pytree: a farm (or single modem) can be snapshot
-mid-stream, restarted in a new process, resharded onto a different
-mesh, and continue producing bit-identical output.
+that state is an explicit state pytree (``DemodState`` for FSK,
+``PSKDemodState`` for DBPSK), so checkpointing is a serialization of
+the pytree: a farm (or single modem) can be snapshot mid-stream,
+restarted in a new process, resharded onto a different mesh, and
+continue producing bit-identical output.
+
+The snapshot records a model-family tag plus the full config
+dataclass; restore dispatches through the same family registry the
+farm uses (models/farm._resolve_family), so every family the farm can
+run, it can also checkpoint and resume.
 
 Plain ``.npz`` is used (self-contained, no service deps); the pytrees
 also work directly with orbax if an async checkpointer is wanted.
@@ -14,6 +20,7 @@ also work directly with orbax if an async checkpointer is wanted.
 
 from __future__ import annotations
 
+import dataclasses
 import io
 import json
 from typing import Tuple
@@ -22,34 +29,40 @@ import numpy as np
 
 import jax
 
-from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
-from webaudio_modem_tpu.ops.fsk_demod import DemodState, init_state
+from webaudio_modem_tpu.models.config import FSKConfig
 
 
-def state_to_arrays(state: DemodState) -> dict:
+def _family_of(config) -> str:
+    from webaudio_modem_tpu.models.psk import PSKConfig
+
+    return "psk" if isinstance(config, PSKConfig) else "fsk"
+
+
+def _config_from_meta(family: str, d: dict):
+    if family == "psk":
+        from webaudio_modem_tpu.models.psk import PSKConfig
+
+        d = dict(d)
+        for k in ("preamble_pattern", "sfd_pattern"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return PSKConfig(**d)
+    if family != "fsk":
+        raise ValueError(f"unknown checkpoint family: {family!r}")
+    return FSKConfig.from_dict(d)
+
+
+def state_to_arrays(state) -> dict:
     leaves, treedef = jax.tree.flatten(state)
     return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
 
 
-def save_state(path_or_file, state: DemodState, config: FSKConfig,
-               ds_phase: int = 0) -> None:
+def save_state(path_or_file, state, config, ds_phase: int = 0) -> None:
+    """Snapshot (state pytree, config, ds_phase) for any model family."""
     arrays = state_to_arrays(state)
     meta = {
-        "config": {
-            "sample_rate": config.sample_rate,
-            "baud_rate": config.baud_rate,
-            "mark_frequency": config.mark_frequency,
-            "space_frequency": config.space_frequency,
-            "preamble_pattern": list(config.preamble_pattern),
-            "sfd_pattern": list(config.sfd_pattern),
-            "start_bits": config.start_bits,
-            "stop_bits": config.stop_bits,
-            "parity": config.parity,
-            "sync_threshold": config.sync_threshold,
-            "agc_enabled": config.agc_enabled,
-            "pre_filter_bandwidth": config.pre_filter_bandwidth,
-            "adaptive_threshold": config.adaptive_threshold,
-        },
+        "family": _family_of(config),
+        "config": dataclasses.asdict(config),
         "ds_phase": ds_phase,
         "n_leaves": len(arrays),
     }
@@ -57,16 +70,27 @@ def save_state(path_or_file, state: DemodState, config: FSKConfig,
         json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
-def load_state(path_or_file,
-               mesh=None) -> Tuple[DemodState, FSKConfig, int]:
-    """Returns (state, config, ds_phase); optionally placed on a mesh."""
+def load_state(path_or_file, mesh=None) -> Tuple[object, object, int]:
+    """Returns (state, config, ds_phase); optionally placed on a mesh.
+
+    The state template (shapes, dtypes, pytree structure) is rebuilt
+    from the family's own init_state, so a snapshot whose config or
+    batch no longer matches its arrays is rejected loudly.
+    """
+    from webaudio_modem_tpu.models.farm import _resolve_family
+
     with np.load(path_or_file) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
-        config = FSKConfig.from_dict(meta["config"])
-        params = FSKParams.from_config(config)
-        batch = int(data["leaf_0"].shape[0])
-        template = init_state(params, batch)
+        config = _config_from_meta(meta.get("family", "fsk"),
+                                   meta["config"])
+        ops, params = _resolve_family(config)
+        batch = int(data["leaf_0"].shape[0])  # agc_gain [B], both families
+        template = ops.init_state(params, batch)
         leaves, treedef = jax.tree.flatten(template)
+        if len(leaves) != meta["n_leaves"]:
+            raise ValueError(
+                f"checkpoint leaf-count mismatch: {meta['n_leaves']} vs "
+                f"{len(leaves)} — family/state layout changed?")
         restored = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
         for ref, got in zip(leaves, restored):
             if ref.shape != got.shape:
@@ -84,8 +108,7 @@ def load_state(path_or_file,
     return state, config, int(meta["ds_phase"])
 
 
-def dumps_state(state: DemodState, config: FSKConfig,
-                ds_phase: int = 0) -> bytes:
+def dumps_state(state, config, ds_phase: int = 0) -> bytes:
     buf = io.BytesIO()
     save_state(buf, state, config, ds_phase)
     return buf.getvalue()

@@ -111,6 +111,8 @@ class ModemFarm:
                    ) -> List[bytes]:
         """Demodulate a full [B, T] batch (optionally in chunks),
         returning per-channel decoded bytes."""
+        from webaudio_modem_tpu.utils.trace import metrics
+
         samples = np.asarray(samples, dtype=np.float32)
         B, T = samples.shape
         if B != self.batch:
@@ -118,9 +120,14 @@ class ModemFarm:
         chunk = chunk_size or T
         collected = [bytearray() for _ in range(B)]
         for start in range(0, T, chunk):
-            out = self.demodulate_chunk(samples[:, start:start + chunk])
-            for b, piece in enumerate(self.collect_bytes(out)):
+            with metrics.timer("farm.chunk"):
+                out = self.demodulate_chunk(samples[:, start:start + chunk])
+                pieces = self.collect_bytes(out)
+            for b, piece in enumerate(pieces):
                 collected[b] += piece
+        total = sum(len(c) for c in collected)
+        if total:
+            metrics.incr("farm.bytes_decoded", total)
         return [bytes(c) for c in collected]
 
     def reset(self) -> None:

@@ -78,9 +78,12 @@ class FSKCore(IModulator):
         # Split arbitrary chunk lengths into power-of-two pieces so the
         # jit cache stays bounded (~2*log2(maxT) programs per config)
         # while state carry keeps results identical to a single call.
+        from webaudio_modem_tpu.utils.trace import metrics
+
         result = bytearray()
         offset = 0
         n = len(samples)
+        syncs = eods = 0
         while offset < n:
             remaining = n - offset
             piece = 1 << (remaining.bit_length() - 1)  # largest pow2 <= rem
@@ -92,25 +95,41 @@ class FSKCore(IModulator):
             count = int(out.byte_count[0])
             if count:
                 result += bytes(np.asarray(out.bytes_out[0][:count]))
+            syncs += int(out.sync_fired[0])
             for _ in range(int(out.eod_fired[0])):
+                eods += 1
                 self.emit("eod")
             offset += piece
         self._threshold_carry = float(self._state.threshold[0])
+        metrics.incr("fsk.demodulate_calls")
+        if result:
+            metrics.incr("fsk.bytes_decoded", len(result))
+        if syncs:
+            metrics.incr("fsk.syncs", syncs)
+        if eods:
+            metrics.incr("fsk.eods", eods)
         return bytes(result)
 
     # -- state management (fsk.ts:464-469) ---------------------------------
 
     def reset(self) -> None:
-        if self.params is not None:
-            threshold = self._threshold_carry
-            self._threshold_carry = None
-            self._init_state()
-            if threshold is not None:
-                # reset() does not clear silence.threshold either
-                import jax.numpy as jnp
-                self._threshold_carry = threshold
-                self._state = self._state._replace(
-                    threshold=jnp.full((1,), threshold, jnp.float32))
+        """Reference reset() semantics (fsk.ts:464-469 + resetState
+        fsk.ts:175-188, encoded by golden.FSKGolden.reset): clears the
+        sync *bit* buffer, byte/framing registers, NCO, I/Q + post
+        filters, downsample accumulators and debug counters — but
+        PRESERVES the AGC gain, the pre-filter state, the sync
+        *amplitude* buffer and the adaptive silence threshold."""
+        if self.params is not None and self._state is not None:
+            old = self._state
+            self._init_state()  # carries threshold via _threshold_carry
+            self._state = self._state._replace(
+                agc_gain=old.agc_gain,          # this.agc untouched
+                pre=old.pre,                    # preFilter not reset
+                amp_tail=old.amp_tail,          # syncAmplitudeBuffer kept
+                amp_fill=old.amp_fill,
+                threshold=old.threshold,        # silence.threshold kept
+            )
+            self._threshold_carry = float(old.threshold[0])
         self.emit("reset")
 
     # -- observability ------------------------------------------------------

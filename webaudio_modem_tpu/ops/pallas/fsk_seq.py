@@ -11,7 +11,7 @@ channels (B=4096 -> 4 VREGs per op, exactly like the XLA path), and
 the time loop runs INSIDE the kernel as a ``fori_loop`` — Mosaic loops
 have none of the XLA While per-iteration overhead that dominated the
 scan.  The grid is 1-D over time blocks (sequential by construction),
-with the 19 carried state tiles living in a VMEM scratch across grid
+with the N_STATE (20) carried state tiles living in a VMEM scratch across grid
 steps.  atan2 has no Mosaic lowering, so the kernel injects
 ops/pallas/tpu_math.atan2.
 
@@ -120,7 +120,7 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
                    interpret: bool, packed_state, xT):
-    """packed_state [19, B]; xT time-major [T_m, B] with
+    """packed_state [N_STATE, B]; xT time-major [T_m, B] with
     T_m == n_groups * ratio.  Returns (packed_state', bits [n_groups, B],
     amps [n_groups, B])."""
     ratio = params.downsample_ratio
@@ -180,6 +180,10 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
         raise ValueError(f"Pallas seq kernel needs B % {LANES} == 0")
     n_groups = T_m // ratio
     T_blk = min(T_blk, max(T_m, ratio))
+    # Block geometry: the input block advances T_blk rows per grid step
+    # while the kernel consumes gpb*ratio rows, so blocks must hold a
+    # whole number of downsample groups.
+    T_blk = max(T_blk - (T_blk % ratio), ratio)
     packed = _pack_state(fr, dsc)
     packed, bits, amps = _seq_main_call(
         params, n_groups, T_blk, interpret, packed, xT_main)

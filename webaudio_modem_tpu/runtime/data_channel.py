@@ -31,6 +31,7 @@ class QueueDataChannel(IDataChannel):
     def __init__(self):
         self.sent_data: List[bytes] = []
         self._rx_queue: asyncio.Queue = asyncio.Queue()
+        self._pending_gets: List[asyncio.Future] = []
         self.closed = False
         self.peer: Optional["QueueDataChannel"] = None
         self.echo = False  # deliver own TX back to self (loopback hub)
@@ -54,15 +55,30 @@ class QueueDataChannel(IDataChannel):
             raise ConnectionError("DataChannel closed")
         if signal is not None:
             signal.throw_if_aborted()
-        data = await race_abort(self._rx_queue.get(), signal)
+        get_task = asyncio.ensure_future(self._rx_queue.get())
+        self._pending_gets.append(get_task)
+        try:
+            data = await race_abort(get_task, signal)
+        except asyncio.CancelledError:
+            # a reset() dropped this waiter (the reference mock discards
+            # its resolvers, xmodem.node.test.ts:143-151)
+            raise AbortError("DataChannel reset")
+        finally:
+            if get_task in self._pending_gets:
+                self._pending_gets.remove(get_task)
         if isinstance(data, Exception):
             raise data
         return data
 
     async def reset(self) -> None:
+        # match the reference mock (xmodem.node.test.ts:143-151): keep
+        # sent/queued data for inspection; drop pending demodulate
+        # waiters (their awaits raise AbortError)
         self.closed = False
-        # match the reference mock: keep sent/queued data for inspection,
-        # drop pending waiters only (xmodem.node.test.ts:143-151)
+        pending, self._pending_gets = self._pending_gets, []
+        for t in pending:
+            if not t.done():
+                t.cancel()
 
     # -- test/injection helpers --------------------------------------------
 

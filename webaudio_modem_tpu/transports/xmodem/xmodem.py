@@ -28,6 +28,7 @@ from webaudio_modem_tpu.transports.xmodem.types import ControlType
 from webaudio_modem_tpu.utils.abort import (AbortController, AbortError,
                                             AbortSignal)
 from webaudio_modem_tpu.utils.crc16 import CRC16
+from webaudio_modem_tpu.utils.trace import metrics
 
 logger = logging.getLogger("webaudio_modem_tpu.xmodem")
 
@@ -145,6 +146,7 @@ class XModemTransport(ITransport):
         await self.data_channel.modulate(serialized)
         if not self._op_aborted():
             self.statistics.packets_sent += 1
+            metrics.incr("xmodem.packets_sent")
 
     def is_ready(self) -> bool:
         return self._state == State.IDLE
@@ -221,6 +223,7 @@ class XModemTransport(ITransport):
                 t_sent = time.monotonic()
                 await self.data_channel.modulate(serialized)
                 self.statistics.packets_sent += 1
+                metrics.incr("xmodem.packets_sent")
 
                 self._state_changed(
                     State.SENDING_WAIT_ACK,
@@ -233,20 +236,25 @@ class XModemTransport(ITransport):
                         # packet-send -> ACK round-trip (the reference
                         # declares averageRoundTripTime but never
                         # computes it, core.ts:187/xmodem stats)
-                        self._rtt_sum += (time.monotonic() - t_sent) * 1000
+                        rtt_ms = (time.monotonic() - t_sent) * 1000
+                        self._rtt_sum += rtt_ms
                         self._rtt_count += 1
+                        metrics.incr("xmodem.acks")
+                        metrics.incr("xmodem.rtt_ms_total", rtt_ms)
                         self._send_retries = 0
                         self._send_fragment_index += 1
                         self._send_sequence = (self._send_sequence % 255) + 1
                         return
                     if byte == ControlType.NAK:
                         self.statistics.packets_retransmitted += 1
+                        metrics.incr("xmodem.retransmits")
                         logger.warning("Retransmitting fragment %d", idx + 1)
                         raise TimeoutError("NAK received, retry fragment")
                     # ignore other bytes
 
             def on_retry(count):
                 self.statistics.packets_retransmitted += 1
+                metrics.incr("xmodem.retransmits")
                 logger.warning("Timeout, retrying fragment %d, retries=%d",
                                self._send_fragment_index + 1, count)
 
@@ -343,6 +351,7 @@ class XModemTransport(ITransport):
             payload_crc = await self._wait_for_bytes(
                 length + 2, self._create_timeout_signal(external))
             self.statistics.packets_received += 1
+            metrics.incr("xmodem.packets_received")
             payload = bytes(payload_crc[:length])
             crc = (payload_crc[length] << 8) | payload_crc[length + 1]
 

@@ -7,8 +7,13 @@ fsk-processor.ts:78) plus debug counters surfaced through getStatus
 
   * ``component_logger(name)`` — stdlib logger with the same bracketed
     component tags, switchable with ``set_debug``.
-  * ``Metrics`` — process-wide counter/gauge registry; the modem cores
-    and transports feed it, ``snapshot()`` dumps everything.
+  * ``Metrics`` — process-wide counter/gauge/timer registry.  Wired
+    call sites: FSKCore.demodulate_data (fsk.bytes_decoded / fsk.syncs
+    / fsk.eods / fsk.demodulate_calls), ModemFarm.demodulate
+    (farm.bytes_decoded + farm.chunk timer), XModemTransport
+    (xmodem.packets_sent / packets_received / retransmits /
+    rtt_ms_total / acks).  ``snapshot()`` dumps everything; the demos
+    print it.
   * ``profile(path)`` — context manager around jax.profiler for device
     traces of the demod pipeline.
 """
