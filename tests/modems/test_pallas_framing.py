@@ -20,7 +20,7 @@ def _intermediates(params, B, T, seed=0):
         sig = np.pad(sig, (0, T - len(sig)))
     x = jnp.asarray(np.tile(sig, (B, 1)))
     state = fsk_demod.init_state(params, B)
-    fr, dsc, _, _, bits, amps = fsk_demod._sequential_stage(
+    fr, dsc, _, _, bits, amps, _softs = fsk_demod._sequential_stage(
         params, 0, state, x, unroll=2)
     ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)

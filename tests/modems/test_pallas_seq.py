@@ -27,11 +27,12 @@ def test_pallas_matches_scan(T):
     # lax reference over the aligned body
     n_groups = T // params.downsample_ratio
     Tm = n_groups * params.downsample_ratio
-    fr_ref, dsc_ref, _, _, bits_ref, amps_ref = fsk_demod._sequential_stage(
+    (fr_ref, dsc_ref, _, _, bits_ref, amps_ref,
+     softs_ref) = fsk_demod._sequential_stage(
         params, 0, state, jnp.asarray(x[:, :Tm]), unroll=2)
 
     xT = jnp.asarray(x[:, :Tm]).T
-    fr_p, dsc_p, bits_p, amps_p = fsk_seq.seq_main(
+    fr_p, dsc_p, bits_p, amps_p, softs_p = fsk_seq.seq_main(
         params, fr, dsc, xT, T_blk=512, interpret=True)
 
     # On random-noise input the filtered phase diff sits arbitrarily
@@ -41,6 +42,8 @@ def test_pallas_matches_scan(T):
     mism = np.mean(np.asarray(bits_p) != np.asarray(bits_ref))
     assert mism <= 1e-4, f"bit mismatch fraction {mism}"
     np.testing.assert_allclose(np.asarray(amps_p), np.asarray(amps_ref),
+                               rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(softs_p), np.asarray(softs_ref),
                                rtol=1e-4, atol=5e-5)
     # carried float state matches closely
     for a, b in zip(jax.tree.leaves((fr_p, dsc_p)),
@@ -59,13 +62,13 @@ def test_pallas_streaming_state_carry():
     dsc = (state.last_phase, state.post)
 
     # whole
-    fr_w, dsc_w, bits_w, amps_w = fsk_seq.seq_main(
+    fr_w, dsc_w, bits_w, amps_w, _ = fsk_seq.seq_main(
         params, fr, dsc, jnp.asarray(x).T, T_blk=256, interpret=True)
     # two chunks with carried state
-    fr_c, dsc_c, b1, a1 = fsk_seq.seq_main(
+    fr_c, dsc_c, b1, a1, _ = fsk_seq.seq_main(
         params, fr, dsc, jnp.asarray(x[:, :256]).T, T_blk=256,
         interpret=True)
-    fr_c, dsc_c, b2, a2 = fsk_seq.seq_main(
+    fr_c, dsc_c, b2, a2, _ = fsk_seq.seq_main(
         params, fr_c, dsc_c, jnp.asarray(x[:, 256:]).T, T_blk=256,
         interpret=True)
     np.testing.assert_array_equal(

@@ -175,24 +175,36 @@ class ModemFarm:
         }
 
     def get_signal_quality(self):
-        """Per-channel SignalQuality estimates from the carried
-        amplitude windows (the reference declares this surface but
-        stubs it to zeros — fsk.ts:471-479)."""
+        """Per-channel SignalQuality estimates — all five fields
+        computed for real (the reference declares this surface but
+        stubs it to zeros — fsk.ts:471-479): snr/eye from the carried
+        amplitude windows, ber from the sync-correlation mismatch,
+        frequency offset / phase jitter from the per-class
+        discriminator accumulators."""
         from webaudio_modem_tpu.core import SignalQuality
+        from webaudio_modem_tpu.models.psk import PSKConfig
+
+        is_psk = isinstance(self.config, PSKConfig)
+        ber, freq, jitter, eye = fsk_demod.quality_from_state(
+            self.params, self.state,
+            delay_ds=self.params.ds_samples_per_bit if is_psk else 1,
+            family="psk" if is_psk else "fsk")
 
         amps = np.asarray(self.state.amp_tail)          # [A, B]
         thr = np.asarray(self.state.threshold)          # [B]
-        out = []
-        for b in range(self.batch):
-            active = amps[:, b][amps[:, b] > thr[b]]
-            if len(active) < 8:
-                out.append(SignalQuality())
-                continue
-            mean = float(active.mean())
-            std = float(active.std())
-            snr = 10 * np.log10((mean ** 2) / (std ** 2 + 1e-12))
-            out.append(SignalQuality(
-                snr=snr,
-                eye_opening=float(np.clip(
-                    1.0 - 2.0 * std / (mean + 1e-12), 0.0, 1.0))))
-        return out
+        active = amps > thr[None, :]
+        cnt = active.sum(0)
+        asum = np.where(active, amps, 0.0).sum(0)
+        mean = asum / np.maximum(cnt, 1)
+        var = (np.where(active, amps * amps, 0.0).sum(0)
+               / np.maximum(cnt, 1)) - mean * mean
+        have = cnt >= 8
+        with np.errstate(divide="ignore", invalid="ignore"):
+            snr = np.where(have,
+                           10 * np.log10((mean ** 2 + 1e-30)
+                                         / (var + 1e-12)), 0.0)
+        return [SignalQuality(snr=float(snr[b]), ber=float(ber[b]),
+                              eye_opening=float(eye[b]),
+                              phase_jitter=float(jitter[b]),
+                              frequency_offset=float(freq[b]))
+                for b in range(self.batch)]

@@ -147,16 +147,23 @@ class FSKCore(IModulator):
         }
 
     def get_signal_quality(self) -> SignalQuality:
-        # Implemented for real (the reference declares-but-stubs this,
-        # fsk.ts:471-479): SNR from the carried amplitude window.
+        # All five fields computed for real (the reference declares but
+        # stubs the whole surface, core.ts:10-16 / fsk.ts:471-479):
+        # snr/eye from the carried amplitude window; ber from the sync
+        # correlation mismatch; frequency offset and phase jitter from
+        # the per-class discriminator accumulators (quality_from_state).
         if self._state is None:
             return SignalQuality()
+        ber, freq, jitter, eye = fsk_demod.quality_from_state(
+            self.params, self._state)
+        snr = 0.0
         amps = np.asarray(self._state.amp_tail[:, 0])
         active = amps[amps > float(self._state.threshold[0])]
-        if len(active) < 8:
-            return SignalQuality()
-        mean = float(active.mean())
-        std = float(active.std())
-        snr = 10 * np.log10((mean ** 2) / (std ** 2 + 1e-12))
-        return SignalQuality(snr=float(snr), eye_opening=float(
-            np.clip(1.0 - 2.0 * std / (mean + 1e-12), 0.0, 1.0)))
+        if len(active) >= 8:
+            mean = float(active.mean())
+            std = float(active.std())
+            snr = float(10 * np.log10((mean ** 2) / (std ** 2 + 1e-12)))
+        return SignalQuality(snr=snr, ber=float(ber[0]),
+                             eye_opening=float(eye[0]),
+                             phase_jitter=float(jitter[0]),
+                             frequency_offset=float(freq[0]))

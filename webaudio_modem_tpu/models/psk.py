@@ -123,13 +123,19 @@ class PSKCore(IModulator):
     def get_signal_quality(self) -> SignalQuality:
         if self._state is None:
             return SignalQuality()
+        from webaudio_modem_tpu.ops import fsk_demod
+
+        ber, freq, jitter, eye = fsk_demod.quality_from_state(
+            self.params, self._state,
+            delay_ds=self.params.ds_samples_per_bit, family="psk")
+        snr = 0.0
         amps = np.asarray(self._state.amp_tail[:, 0])
         active = amps[amps > float(self._state.threshold[0])]
-        if len(active) < 8:
-            return SignalQuality()
-        mean = float(active.mean())
-        std = float(active.std())
-        return SignalQuality(
-            snr=float(10 * np.log10((mean ** 2) / (std ** 2 + 1e-12))),
-            eye_opening=float(np.clip(1.0 - 2.0 * std / (mean + 1e-12),
-                                      0.0, 1.0)))
+        if len(active) >= 8:
+            mean = float(active.mean())
+            std = float(active.std())
+            snr = float(10 * np.log10((mean ** 2) / (std ** 2 + 1e-12)))
+        return SignalQuality(snr=snr, ber=float(ber[0]),
+                             eye_opening=float(eye[0]),
+                             phase_jitter=float(jitter[0]),
+                             frequency_offset=float(freq[0]))

@@ -112,6 +112,15 @@ class DemodState(NamedTuple):
     # debug counters (getStatus, fsk.ts:481-493)
     sync_count: jax.Array      # i32 [B]
     eod_count: jax.Array       # i32 [B]
+    # SignalQuality accumulators (core.ts:10-16 — declared-but-stubbed
+    # in the reference, computed for real here).  At each sync fire the
+    # preceding sync window holds the KNOWN preamble+SFD pattern, so
+    # its discriminator statistics vs a per-config clean calibration
+    # (see quality_from_state) measure BER, carrier offset and jitter.
+    last_sync_ratio: jax.Array  # f32 [B] match ratio at the last sync
+    q_win_sum: jax.Array       # f32 [B] Σ soft over the last-fire window
+    q_win_sumsq: jax.Array     # f32 [B] Σ soft² over the same window
+    q_win_cnt: jax.Array       # f32 [B] samples in that window
 
 
 class DemodOut(NamedTuple):
@@ -143,6 +152,8 @@ def init_state(params: FSKParams, batch: int = 1) -> DemodState:
         accum=zi(), count=zi(), bsc=zi(), next_idx=zi(), byte_cur=zi(),
         pos=zi(),
         sync_count=zi(), eod_count=zi(),
+        last_sync_ratio=z(),
+        q_win_sum=z(), q_win_sumsq=z(), q_win_cnt=z(),
     )
 
 
@@ -241,7 +252,13 @@ def _ds_decision(params: FSKParams, dsc, avg_i, avg_q,
     """Downsampled-rate decision: atan2 phase/amplitude, wrapped phase
     diff, post-LPF, polarity slicer (fsk.ts:251-264).  dsc = (last_phase,
     post biquad state).  ``atan2`` is injectable because Pallas TPU has
-    no atan2 lowering (ops/pallas/tpu_math.atan2 substitutes)."""
+    no atan2 lowering (ops/pallas/tpu_math.atan2 substitutes).
+
+    Returns (dsc', bit, amp, soft): ``soft`` is the post-filtered phase
+    difference (radians/ds-step) whose sign the slicer takes — the
+    analog value SignalQuality's frequency-offset / phase-jitter
+    estimators accumulate (the reference declares-but-stubs that
+    surface, core.ts:10-16 / fsk.ts:471-479)."""
     last_phase, (x1, x2, y1, y2) = dsc
     cur = atan2(avg_q, avg_i)
     amp = jnp.sqrt(avg_i * avg_i + avg_q * avg_q)
@@ -252,7 +269,7 @@ def _ds_decision(params: FSKParams, dsc, avg_i, avg_q,
     b0, b1, b2, a1, a2 = [jnp.float32(c) for c in params.post_filter]
     filt = b0 * diff + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
     bit = (jnp.float32(params.polarity) * filt > 0).astype(jnp.float32)
-    return (cur, (diff, x1, filt, y1)), bit, amp
+    return (cur, (diff, x1, filt, y1)), bit, amp, filt
 
 
 def _group_step(params: FSKParams, carry, x_group, atan2=jnp.arctan2):
@@ -265,9 +282,9 @@ def _group_step(params: FSKParams, carry, x_group, atan2=jnp.arctan2):
         acc_i = fi if acc_i is None else acc_i + fi
         acc_q = fq if acc_q is None else acc_q + fq
     ratio = jnp.float32(params.downsample_ratio)
-    dsc, bit, amp = _ds_decision(params, dsc, acc_i / ratio, acc_q / ratio,
-                                 atan2=atan2)
-    return (fr, dsc), bit, amp
+    dsc, bit, amp, soft = _ds_decision(params, dsc, acc_i / ratio,
+                                       acc_q / ratio, atan2=atan2)
+    return (fr, dsc), bit, amp, soft
 
 
 def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
@@ -275,9 +292,10 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     """Run all sequential recurrences over [B, T].
 
     Returns (fr_state, dsc_state, ds_iacc, ds_qacc, bits [n_ds, B],
-    amps [n_ds, B]) — outputs time-major.  ``ds_phase`` (static) =
-    samples already pending in the downsample accumulator; tracked
-    host-side (data-independent).
+    amps [n_ds, B], softs [n_ds, B]) — outputs time-major; ``softs``
+    is the analog post-filtered phase diff feeding SignalQuality.
+    ``ds_phase`` (static) = samples already pending in the downsample
+    accumulator; tracked host-side (data-independent).
     """
     unroll = unroll or _default_unroll()
     B, T = x.shape
@@ -285,7 +303,7 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     xT = x.T  # single layout change; everything downstream is time-major
     fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
     dsc = (state.last_phase, state.post)
-    bits_parts, amps_parts = [], []
+    bits_parts, amps_parts, soft_parts = [], [], []
     pos = 0
 
     # prefix: complete the pending group carried from the last chunk
@@ -298,15 +316,16 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
                 acc_i = acc_i + fi
                 acc_q = acc_q + fq
             empty = jnp.zeros((0, B), x.dtype)
-            return fr, dsc, acc_i, acc_q, empty, empty
+            return fr, dsc, acc_i, acc_q, empty, empty, empty
         for t in range(need):
             fr, fi, fq = _full_rate_step(params, fr, xT[t])
             acc_i = acc_i + fi
             acc_q = acc_q + fq
-        dsc, bit, amp = _ds_decision(params, dsc,
-                                     acc_i / ratio, acc_q / ratio)
+        dsc, bit, amp, soft = _ds_decision(params, dsc,
+                                           acc_i / ratio, acc_q / ratio)
         bits_parts.append(bit[None, :])
         amps_parts.append(amp[None, :])
+        soft_parts.append(soft[None, :])
         pos = need
 
     n_groups = (T - pos) // ratio
@@ -317,9 +336,10 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
 
         if fsk_seq.available(B):
             xm = xT[pos:pos + n_groups * ratio]
-            fr, dsc, bm, am = fsk_seq.seq_main(params, fr, dsc, xm)
+            fr, dsc, bm, am, sm = fsk_seq.seq_main(params, fr, dsc, xm)
             bits_parts.append(bm)
             amps_parts.append(am)
+            soft_parts.append(sm)
             pos += n_groups * ratio
             n_groups = 0
 
@@ -329,24 +349,27 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
             main // unroll, unroll * ratio, B)
 
         def body(carry, block):
-            bs, as_ = [], []
+            bs, as_, ss = [], [], []
             for u in range(unroll):
                 group = tuple(block[u * ratio + r] for r in range(ratio))
-                carry, bit, amp = _group_step(params, carry, group)
+                carry, bit, amp, soft = _group_step(params, carry, group)
                 bs.append(bit)
                 as_.append(amp)
-            return carry, (jnp.stack(bs), jnp.stack(as_))
+                ss.append(soft)
+            return carry, (jnp.stack(bs), jnp.stack(as_), jnp.stack(ss))
 
-        (fr, dsc), (bm, am) = jax.lax.scan(body, (fr, dsc), xs)
+        (fr, dsc), (bm, am, sm) = jax.lax.scan(body, (fr, dsc), xs)
         bits_parts.append(bm.reshape(main, B))
         amps_parts.append(am.reshape(main, B))
+        soft_parts.append(sm.reshape(main, B))
         pos += main * ratio
 
     for _ in range(n_groups - main):  # remainder groups, inlined
         group = tuple(xT[pos + r] for r in range(ratio))
-        (fr, dsc), bit, amp = _group_step(params, (fr, dsc), group)
+        (fr, dsc), bit, amp, soft = _group_step(params, (fr, dsc), group)
         bits_parts.append(bit[None, :])
         amps_parts.append(amp[None, :])
+        soft_parts.append(soft[None, :])
         pos += ratio
 
     leftover = T - pos  # 0..ratio-1 samples start the next pending group
@@ -360,9 +383,10 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     if bits_parts:
         bits = jnp.concatenate(bits_parts, 0)
         amps = jnp.concatenate(amps_parts, 0)
+        softs = jnp.concatenate(soft_parts, 0)
     else:
-        bits = amps = jnp.zeros((0, B), x.dtype)
-    return fr, dsc, acc_i, acc_q, bits, amps
+        bits = amps = softs = jnp.zeros((0, B), x.dtype)
+    return fr, dsc, acc_i, acc_q, bits, amps, softs
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +646,7 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     ``make_demod_chunk`` for the jitted, donated entry point.
     """
     B, T = samples.shape
-    fr, dsc, ds_iacc, ds_qacc, bits, amps = _sequential_stage(
+    fr, dsc, ds_iacc, ds_qacc, bits, amps, softs = _sequential_stage(
         params, ds_phase, state, samples)
     agc_gain, pre, phi, iq_i, iq_q = fr
     last_phase, post_state = dsc
@@ -653,6 +677,52 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
      byte_cur, pos) = d_carry
     started = started_i > 0  # stage D carries it as int32 (Mosaic i1)
 
+    # SignalQuality accumulators — parallel masked reductions over the
+    # chunk, refreshed at the LAST sync fire: the ``sync_window``
+    # samples preceding a fire carry the KNOWN preamble+SFD pattern, so
+    # (a) the match ratio there is a measured raw bit-error rate and
+    # (b) the window's discriminator mean/variance vs a clean per-config
+    # calibration yield carrier offset and phase jitter
+    # (quality_from_state).
+    # Gated on any fire in the chunk (lax.cond): syncs are rare (once
+    # per frame), so the ~8 extra [n_ds, B] passes for the window stats
+    # are skipped on the hot no-sync path.
+    def _quality_update(_):
+        t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
+        fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
+        has_fire = fire_t >= 0
+        # Anchor at the correlation PEAK near the fire: the state
+        # machine fires at the FIRST quarter-bit threshold crossing, up
+        # to ~a bit period before perfect pattern alignment; the peak
+        # is the aligned position, making the stats comparable to the
+        # clean calibration.
+        dsb = jnp.int32(params.ds_samples_per_bit)
+        near = (t_idx >= fire_t[None, :] - dsb) & \
+            (t_idx <= fire_t[None, :] + dsb)
+        rnear = jnp.where(near, ratios, jnp.float32(-1.0))
+        peak_ratio = jnp.max(rnear, axis=0)
+        t_peak = jnp.max(
+            jnp.where(near & (ratios >= peak_ratio[None, :]), t_idx,
+                      jnp.int32(-1)), axis=0)
+        lsr = jnp.where(has_fire, peak_ratio, state.last_sync_ratio)
+        W = jnp.int32(params.sync_window)
+        in_win = (t_idx <= t_peak[None, :]) & \
+            (t_idx > t_peak[None, :] - W)
+        zero = jnp.zeros_like(softs)
+        win_sum = jnp.where(in_win, softs, zero).sum(0)
+        win_sumsq = jnp.where(in_win, softs * softs, zero).sum(0)
+        win_cnt = in_win.astype(jnp.float32).sum(0)
+        return (lsr,
+                jnp.where(has_fire, win_sum, state.q_win_sum),
+                jnp.where(has_fire, win_sumsq, state.q_win_sumsq),
+                jnp.where(has_fire, win_cnt, state.q_win_cnt))
+
+    (last_sync_ratio, q_win_sum, q_win_sumsq,
+     q_win_cnt) = jax.lax.cond(
+        jnp.any(fires), _quality_update,
+        lambda _: (state.last_sync_ratio, state.q_win_sum,
+                   state.q_win_sumsq, state.q_win_cnt), None)
+
     # Compact time-major (value, valid) pairs into dense rows [B, maxb].
     # NOT a scatter (TPU serializes non-unique-index scatters, ~70 ms at
     # B=4096): each output slot j holds at most one emission per channel,
@@ -682,11 +752,150 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
         byte_cur=byte_cur, pos=pos,
         sync_count=state.sync_count + sync_fired,
         eod_count=state.eod_count + eod_fired,
+        last_sync_ratio=last_sync_ratio,
+        q_win_sum=q_win_sum, q_win_sumsq=q_win_sumsq, q_win_cnt=q_win_cnt,
     )
     return new_state, DemodOut(
         bytes_out=bytes_out, byte_count=byte_count,
         sync_fired=sync_fired, eod_fired=eod_fired,
         mean_amplitude=amps.mean(0))
+
+
+@functools.lru_cache(maxsize=32)
+def _quality_calibration(params: FSKParams, family: str = "fsk"):
+    """Clean-signal discriminator statistics over the sync window.
+
+    Runs the REAL pipeline (B=1, CPU) on a clean preamble+SFD+payload
+    signal and records, anchored at the sync-correlation peak, (a) the
+    peak match ratio and (b) for every suffix length c of the window,
+    the expected mean and variance of the soft discriminator stream.
+    The payload content is irrelevant to the window (it ends within the
+    deterministic UART start bit of the first data byte), so ANY
+    measured deviation from these tables is channel impairment: a mean
+    shift is carrier frequency offset (a constant passes the post-LPF
+    at DC gain 1), excess variance is phase jitter, and a ratio drop
+    counts actual re-sliced bit errors.  Returns
+    (mean_table [W+1], var_table [W+1], peak_ratio) — numpy float64,
+    table index = window sample count, entry 0 zero."""
+    import jax as _jax
+
+    if family == "psk":
+        from webaudio_modem_tpu.ops import psk as _ops
+
+        _modulate = _ops.modulate
+        _init = _ops.init_state
+        _seq = _ops._sequential_stage
+    else:
+        from webaudio_modem_tpu.ops import fsk_mod
+
+        _modulate = fsk_mod.modulate
+        _init = init_state
+        _seq = _sequential_stage
+
+    W = params.sync_window
+    cpu = _jax.devices("cpu")[0]
+    with _jax.default_device(cpu):
+        sig = np.asarray(_modulate(params, b"\x55"))[None]
+        state = _init(params, 1)
+        _, _, _, _, bits, amps, softs = _seq(params, 0, state,
+                                             jnp.asarray(sig))
+        n_ds = bits.shape[0]
+        ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
+        ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
+        ratios = _sync_ratios(params, ext_bits)
+        means = _amp_means(params, state, ext_amps, n_ds)
+        t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
+        gate = (t[:, None] + state.bit_fill[None, :]) >= jnp.int32(W)
+        _, (_, _, _, fires) = _stage_d(params, state, bits, amps,
+                                       ratios, means, gate)
+    fires_np = np.asarray(fires)[:, 0]
+    softs_np = np.asarray(softs, dtype=np.float64)[:, 0]
+    ratios_np = np.asarray(ratios, dtype=np.float64)[:, 0]
+    fire_idx = np.nonzero(fires_np)[0]
+    mean_t = np.zeros(W + 1)
+    var_t = np.zeros(W + 1)
+    if len(fire_idx) == 0:  # pattern too weak to self-sync (unusual)
+        return mean_t, var_t, float((W - params.ds_samples_per_bit) / W)
+    t_fire = int(fire_idx[0])
+    dsb = params.ds_samples_per_bit
+    lo_n = max(0, t_fire - dsb)
+    hi_n = min(len(ratios_np), t_fire + dsb + 1)
+    t_peak = lo_n + int(np.argmax(ratios_np[lo_n:hi_n]))
+    cal_ratio = float(ratios_np[t_peak])
+    lo = max(0, t_peak - W + 1)
+    win = softs_np[lo:t_peak + 1][::-1]       # newest-first suffixes
+    cs = np.cumsum(win)
+    cs2 = np.cumsum(win * win)
+    n = len(win)
+    cnt = np.arange(1, n + 1, dtype=np.float64)
+    mean_t[1:n + 1] = cs / cnt
+    var_t[1:n + 1] = np.maximum(cs2 / cnt - (cs / cnt) ** 2, 0.0)
+    if n < W:  # extend with the full-window stats
+        mean_t[n + 1:] = mean_t[n]
+        var_t[n + 1:] = var_t[n]
+    return mean_t, var_t, cal_ratio
+
+
+def quality_from_state(params: FSKParams, state, delay_ds: int = 1,
+                       family: str = "fsk"):
+    """Vectorized SignalQuality estimates from the carried accumulators.
+
+    Returns numpy arrays [B]: (ber, frequency_offset_hz, phase_jitter,
+    eye_opening).
+    The first three are differential measurements against a clean-signal
+    calibration of the SAME config and pipeline (_quality_calibration),
+    anchored at the sync-correlation peak of the last detected frame:
+
+    * ``ber`` — actual re-sliced bit errors in the known preamble+SFD
+      window: (cal_peak_ratio - measured_peak_ratio) over the W - ds
+      valid window positions (the newest ds-block never matches due to
+      the reference's j==0 out-of-bounds quirk, fsk.ts:306-307).
+    * ``frequency_offset`` (Hz) — the window's mean discriminator
+      output minus the calibration mean for the same window length;
+      the residual is the carrier offset (scaled by the differential
+      delay: one ds-step for FSK, one bit period for DBPSK).
+    * ``phase_jitter`` (radians) — sqrt of the excess variance over
+      the calibration variance: noise-induced jitter with the
+      deterministic modulation/ISI spread subtracted out.
+    * ``eye_opening`` (0-1) — decision-domain eye: 1 minus the jitter
+      relative to a quarter of the class separation (the FSK
+      discriminator levels sit ±deviation·2π/ds_rate apart; the DBPSK
+      constellation margin is pi/2), clamped to [0, 1]; 0 until a
+      frame has synced.
+    """
+    lsr = np.asarray(state.last_sync_ratio, dtype=np.float64)
+    wsum = np.asarray(state.q_win_sum, dtype=np.float64)
+    wsq = np.asarray(state.q_win_sumsq, dtype=np.float64)
+    wcnt = np.asarray(state.q_win_cnt, dtype=np.float64)
+
+    W = params.sync_window
+    n_valid = W - params.ds_samples_per_bit
+    mean_t, var_t, cal_ratio = _quality_calibration(params, family)
+    ber = np.where(lsr > 0,
+                   np.clip((cal_ratio - lsr) * W / max(n_valid, 1),
+                           0.0, 1.0),
+                   0.0)
+
+    idx = np.clip(wcnt.astype(np.int64), 0, W)
+    have = wcnt >= 1
+    mean = wsum / np.maximum(wcnt, 1.0)
+    var = np.maximum(wsq / np.maximum(wcnt, 1.0) - mean * mean, 0.0)
+    # mixer sign: the quadrature NCO yields phase -(w_tone - w_c)t, so
+    # a positive carrier offset shows up as a NEGATIVE mean shift
+    hz_per_rad = params.downsample_rate / (2.0 * np.pi * delay_ds)
+    freq = np.where(have, -(mean - mean_t[idx]) * hz_per_rad, 0.0)
+    jitter = np.where(have, np.sqrt(np.maximum(var - var_t[idx], 0.0)),
+                      0.0)
+    if family == "psk":
+        separation = np.pi  # constellation points at 0 and pi
+    else:
+        dev_hz = abs(params.space_freq - params.mark_freq) / 2.0
+        separation = 2.0 * (2.0 * np.pi * dev_hz
+                            / params.downsample_rate)
+    eye = np.where(have,
+                   np.clip(1.0 - jitter / (separation / 4.0), 0.0, 1.0),
+                   0.0)
+    return ber, freq, jitter, eye
 
 
 @functools.lru_cache(maxsize=None)

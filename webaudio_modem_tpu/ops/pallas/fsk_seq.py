@@ -58,8 +58,8 @@ def _unpack_state(packed):
 
 
 def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
-            x_ref, state_in_ref, bits_ref, amps_ref, state_out_ref,
-            scratch):
+            x_ref, state_in_ref, bits_ref, amps_ref, softs_ref,
+            state_out_ref, scratch):
     from webaudio_modem_tpu.ops.fsk_demod import _group_step
     from webaudio_modem_tpu.ops.pallas.tpu_math import atan2 as tpu_atan2
 
@@ -84,25 +84,28 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
 
     def body_u(j, carry):
         slab = x_ref[pl.ds(j * (UNROLL * ratio), UNROLL * ratio)]
-        bits_u, amps_u = [], []
+        bits_u, amps_u, softs_u = [], [], []
         for u in range(UNROLL):
             group = tuple(slab[u * ratio + r] for r in range(ratio))
-            carry, bit, amp = _group_step(params, carry, group,
-                                          atan2=tpu_atan2)
+            carry, bit, amp, soft = _group_step(params, carry, group,
+                                                atan2=tpu_atan2)
             bits_u.append(bit)
             amps_u.append(amp)
+            softs_u.append(soft)
         bits_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(bits_u)
         amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
+        softs_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(softs_u)
         return carry
 
     carry = jax.lax.fori_loop(0, n_main_iters, body_u, carry0)
 
     def body_tail(i, carry):
         group = tuple(x_ref[i * ratio + r] for r in range(ratio))
-        carry, bit, amp = _group_step(params, carry, group,
-                                      atan2=tpu_atan2)
+        carry, bit, amp, soft = _group_step(params, carry, group,
+                                            atan2=tpu_atan2)
         bits_ref[i] = bit
         amps_ref[i] = amp
+        softs_ref[i] = soft
         return carry
 
     carry = jax.lax.fori_loop(n_main_iters * UNROLL, count, body_tail,
@@ -136,9 +139,10 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
     out_shape = (
         jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((N_STATE, rows, LANES), jnp.float32),
     )
-    bits, amps, st_out = pl.pallas_call(
+    bits, amps, softs, st_out = pl.pallas_call(
         kernel,
         grid=(n_t,),
         in_specs=[
@@ -148,6 +152,8 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
+            pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
@@ -163,7 +169,8 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
 
     bits = bits.reshape(n_t * gpb, B)[:n_groups]
     amps = amps.reshape(n_t * gpb, B)[:n_groups]
-    return st_out.reshape(N_STATE, B), bits, amps
+    softs = softs.reshape(n_t * gpb, B)[:n_groups]
+    return st_out.reshape(N_STATE, B), bits, amps, softs
 
 
 def seq_main(params: FSKParams, fr, dsc, xT_main,
@@ -172,7 +179,7 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
 
     xT_main: time-major [n_groups*ratio, B]; B must be a multiple of
     128 lanes.  Returns (fr', dsc', bits [n_groups, B],
-    amps [n_groups, B]).
+    amps [n_groups, B], softs [n_groups, B]).
     """
     T_m, B = xT_main.shape
     ratio = params.downsample_ratio
@@ -185,10 +192,10 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     # whole number of downsample groups.
     T_blk = max(T_blk - (T_blk % ratio), ratio)
     packed = _pack_state(fr, dsc)
-    packed, bits, amps = _seq_main_call(
+    packed, bits, amps, softs = _seq_main_call(
         params, n_groups, T_blk, interpret, packed, xT_main)
     fr2, dsc2 = _unpack_state(packed)
-    return fr2, dsc2, bits, amps
+    return fr2, dsc2, bits, amps, softs
 
 
 # kept for tests that exercise tile-sized batches explicitly

@@ -7,7 +7,7 @@ in doing so, demonstrates that the framework's stages are
 modulation-agnostic: the fused full-rate front end
 (ops/fsk_demod._full_rate_step — AGC, band-pass, NCO mix, I/Q LPF),
 the block-sum frame-sync correlator, the framing/UART state machine
-(_stage_d) and the whole runtime/transport stack are reused unchanged;
+(_fd._stage_d) and the whole runtime/transport stack are reused unchanged;
 only the per-group DECISION differs.
 
 DBPSK scheme:
@@ -35,10 +35,10 @@ import jax.numpy as jnp
 
 from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
 from webaudio_modem_tpu.ops import fsk_mod
-from webaudio_modem_tpu.ops.fsk_demod import (DemodOut, _amp_means,
-                                              _default_unroll,
-                                              _full_rate_step, _stage_d,
-                                              _sync_ratios, max_bytes)
+# module-object import: ops.psk participates in an import cycle
+# (models/__init__ -> models.psk -> ops.psk -> ops.fsk_demod -> models
+# .config), so names are resolved at call time, not import time.
+from webaudio_modem_tpu.ops import fsk_demod as _fd
 
 _TWO_PI = 2.0 * np.pi
 
@@ -123,6 +123,12 @@ class PSKDemodState(NamedTuple):
     pos: jax.Array
     sync_count: jax.Array
     eod_count: jax.Array
+    # SignalQuality accumulators (shared scheme with DemodState; the
+    # soft value is the differential-phase deviation, see _psk_decision)
+    last_sync_ratio: jax.Array
+    q_win_sum: jax.Array
+    q_win_sumsq: jax.Array
+    q_win_cnt: jax.Array
 
 
 def init_state(params: FSKParams, batch: int = 1) -> PSKDemodState:
@@ -144,47 +150,59 @@ def init_state(params: FSKParams, batch: int = 1) -> PSKDemodState:
         threshold=jnp.full((batch,), 0.01, jnp.float32),
         accum=zi(), count=zi(), bsc=zi(), next_idx=zi(), byte_cur=zi(),
         pos=zi(), sync_count=zi(), eod_count=zi(),
+        last_sync_ratio=z(),
+        q_win_sum=z(), q_win_sumsq=z(), q_win_cnt=z(),
     )
 
 
 def _psk_decision(params: FSKParams, dsc, avg_i, avg_q):
-    """sign(Re(z * conj(z_delayed_one_bit))) slicer + amplitude."""
+    """sign(Re(z * conj(z_delayed_one_bit))) slicer + amplitude.
+
+    Also emits a ``soft`` value for SignalQuality: the differential
+    phase angle arg(z * conj(z_delay)) wrapped to its nearest
+    constellation point (0 for bit 1, ±pi for bit 0), i.e. the angular
+    deviation whose mean tracks carrier frequency offset (rotation per
+    bit period) and whose spread is the phase jitter."""
     zbi, zbq, idx = dsc
     di = zbi[idx]
     dq = zbq[idx]
     re = avg_i * di + avg_q * dq
+    im = avg_q * di - avg_i * dq
     bit = (re > 0).astype(jnp.float32)
     amp = jnp.sqrt(avg_i * avg_i + avg_q * avg_q)
+    ang = jnp.arctan2(im, re)
+    pi = jnp.float32(np.pi)
+    soft = jnp.where(re > 0, ang, ang - jnp.sign(ang) * pi)
     zbi = jax.lax.dynamic_update_index_in_dim(zbi, avg_i, idx, 0)
     zbq = jax.lax.dynamic_update_index_in_dim(zbq, avg_q, idx, 0)
     idx = (idx + 1) % jnp.int32(params.ds_samples_per_bit)
-    return (zbi, zbq, idx), bit, amp
+    return (zbi, zbq, idx), bit, amp, soft
 
 
 def _psk_group_step(params: FSKParams, carry, x_group):
     fr, dsc = carry
     acc_i = acc_q = None
     for x_t in x_group:
-        fr, fi, fq = _full_rate_step(params, fr, x_t)
+        fr, fi, fq = _fd._full_rate_step(params, fr, x_t)
         acc_i = fi if acc_i is None else acc_i + fi
         acc_q = fq if acc_q is None else acc_q + fq
     ratio = jnp.float32(params.downsample_ratio)
-    dsc, bit, amp = _psk_decision(params, dsc, acc_i / ratio,
-                                  acc_q / ratio)
-    return (fr, dsc), bit, amp
+    dsc, bit, amp, soft = _psk_decision(params, dsc, acc_i / ratio,
+                                        acc_q / ratio)
+    return (fr, dsc), bit, amp, soft
 
 
 def _sequential_stage(params: FSKParams, ds_phase: int,
                       state: PSKDemodState, x, unroll: int = 0):
     """Same scan structure as the FSK sequential stage, with the DBPSK
     decision; outputs time-major bits/amps [n_ds, B]."""
-    unroll = unroll or _default_unroll()
+    unroll = unroll or _fd._default_unroll()
     B, T = x.shape
     ratio = params.downsample_ratio
     xT = x.T
     fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
     dsc = (state.zbuf_i, state.zbuf_q, state.zidx)
-    bits_parts, amps_parts = [], []
+    bits_parts, amps_parts, soft_parts = [], [], []
     pos = 0
 
     if ds_phase > 0:
@@ -192,19 +210,20 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
         acc_i, acc_q = state.ds_iacc, state.ds_qacc
         if T < need:
             for t in range(T):
-                fr, fi, fq = _full_rate_step(params, fr, xT[t])
+                fr, fi, fq = _fd._full_rate_step(params, fr, xT[t])
                 acc_i = acc_i + fi
                 acc_q = acc_q + fq
             empty = jnp.zeros((0, B), x.dtype)
-            return fr, dsc, acc_i, acc_q, empty, empty
+            return fr, dsc, acc_i, acc_q, empty, empty, empty
         for t in range(need):
-            fr, fi, fq = _full_rate_step(params, fr, xT[t])
+            fr, fi, fq = _fd._full_rate_step(params, fr, xT[t])
             acc_i = acc_i + fi
             acc_q = acc_q + fq
-        dsc, bit, amp = _psk_decision(params, dsc, acc_i / ratio,
-                                      acc_q / ratio)
+        dsc, bit, amp, soft = _psk_decision(params, dsc, acc_i / ratio,
+                                            acc_q / ratio)
         bits_parts.append(bit[None, :])
         amps_parts.append(amp[None, :])
+        soft_parts.append(soft[None, :])
         pos = need
 
     n_groups = (T - pos) // ratio
@@ -214,76 +233,122 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
             main // unroll, unroll * ratio, B)
 
         def body(carry, block):
-            bs, as_ = [], []
+            bs, as_, ss = [], [], []
             for u in range(unroll):
                 group = tuple(block[u * ratio + r] for r in range(ratio))
-                carry, bit, amp = _psk_group_step(params, carry, group)
+                carry, bit, amp, soft = _psk_group_step(params, carry,
+                                                        group)
                 bs.append(bit)
                 as_.append(amp)
-            return carry, (jnp.stack(bs), jnp.stack(as_))
+                ss.append(soft)
+            return carry, (jnp.stack(bs), jnp.stack(as_), jnp.stack(ss))
 
-        (fr, dsc), (bm, am) = jax.lax.scan(body, (fr, dsc), xs)
+        (fr, dsc), (bm, am, sm) = jax.lax.scan(body, (fr, dsc), xs)
         bits_parts.append(bm.reshape(main, B))
         amps_parts.append(am.reshape(main, B))
+        soft_parts.append(sm.reshape(main, B))
         pos += main * ratio
 
     for _ in range(n_groups - main):
         group = tuple(xT[pos + r] for r in range(ratio))
-        (fr, dsc), bit, amp = _psk_group_step(params, (fr, dsc), group)
+        (fr, dsc), bit, amp, soft = _psk_group_step(params, (fr, dsc),
+                                                    group)
         bits_parts.append(bit[None, :])
         amps_parts.append(amp[None, :])
+        soft_parts.append(soft[None, :])
         pos += ratio
 
     leftover = T - pos
     acc_i = jnp.zeros_like(state.ds_iacc)
     acc_q = jnp.zeros_like(state.ds_qacc)
     for t in range(leftover):
-        fr, fi, fq = _full_rate_step(params, fr, xT[pos + t])
+        fr, fi, fq = _fd._full_rate_step(params, fr, xT[pos + t])
         acc_i = acc_i + fi
         acc_q = acc_q + fq
 
     if bits_parts:
         bits = jnp.concatenate(bits_parts, 0)
         amps = jnp.concatenate(amps_parts, 0)
+        softs = jnp.concatenate(soft_parts, 0)
     else:
-        bits = amps = jnp.zeros((0, B), x.dtype)
-    return fr, dsc, acc_i, acc_q, bits, amps
+        bits = amps = softs = jnp.zeros((0, B), x.dtype)
+    return fr, dsc, acc_i, acc_q, bits, amps, softs
 
 
 def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
-                samples) -> Tuple[PSKDemodState, DemodOut]:
+                samples) -> Tuple[PSKDemodState, _fd.DemodOut]:
     """One [B, T] frame through the DBPSK pipeline; stages C/D are the
     shared FSK implementations."""
     B, T = samples.shape
-    fr, dsc, ds_iacc, ds_qacc, bits, amps = _sequential_stage(
+    fr, dsc, ds_iacc, ds_qacc, bits, amps, softs = _sequential_stage(
         params, ds_phase, state, samples)
     agc_gain, pre, phi, iq_i, iq_q = fr
     zbi, zbq, zidx = dsc
     n_ds = bits.shape[0]
-    maxb = max_bytes(params, n_ds)
+    maxb = _fd.max_bytes(params, n_ds)
 
     if n_ds == 0:
         new_state = state._replace(
             agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
             ds_iacc=ds_iacc, ds_qacc=ds_qacc)
         zi = jnp.zeros((B,), jnp.int32)
-        return new_state, DemodOut(
+        return new_state, _fd.DemodOut(
             bytes_out=jnp.zeros((B, maxb), jnp.uint8),
             byte_count=zi, sync_fired=zi, eod_fired=zi,
             mean_amplitude=jnp.zeros((B,), jnp.float32))
 
     ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
-    ratios = _sync_ratios(params, ext_bits)
-    means = _amp_means(params, state, ext_amps, n_ds)
+    ratios = _fd._sync_ratios(params, ext_bits)
+    means = _fd._amp_means(params, state, ext_amps, n_ds)
     t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
     gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
         jnp.int32(params.sync_window)
 
-    d_carry, (byte_vals, emits, eods, fires) = _stage_d(
+    d_carry, (byte_vals, emits, eods, fires) = _fd._stage_d(
         params, state, bits, amps, ratios, means, gate_fill)
     (started_i, counter, sil, threshold, accum, count, bsc, next_idx,
      byte_cur, pos) = d_carry
+
+    # SignalQuality accumulators (same scheme as fsk_demod.demod_chunk)
+    # Gated on any fire in the chunk (lax.cond): syncs are rare (once
+    # per frame), so the ~8 extra [n_ds, B] passes for the window stats
+    # are skipped on the hot no-sync path.
+    def _quality_update(_):
+        t_idx = jnp.arange(bits.shape[0], dtype=jnp.int32)[:, None]
+        fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
+        has_fire = fire_t >= 0
+        # Anchor at the correlation PEAK near the fire: the state
+        # machine fires at the FIRST quarter-bit threshold crossing, up
+        # to ~a bit period before perfect pattern alignment; the peak
+        # is the aligned position, making the stats comparable to the
+        # clean calibration.
+        dsb = jnp.int32(params.ds_samples_per_bit)
+        near = (t_idx >= fire_t[None, :] - dsb) & \
+            (t_idx <= fire_t[None, :] + dsb)
+        rnear = jnp.where(near, ratios, jnp.float32(-1.0))
+        peak_ratio = jnp.max(rnear, axis=0)
+        t_peak = jnp.max(
+            jnp.where(near & (ratios >= peak_ratio[None, :]), t_idx,
+                      jnp.int32(-1)), axis=0)
+        lsr = jnp.where(has_fire, peak_ratio, state.last_sync_ratio)
+        W = jnp.int32(params.sync_window)
+        in_win = (t_idx <= t_peak[None, :]) & \
+            (t_idx > t_peak[None, :] - W)
+        zero = jnp.zeros_like(softs)
+        win_sum = jnp.where(in_win, softs, zero).sum(0)
+        win_sumsq = jnp.where(in_win, softs * softs, zero).sum(0)
+        win_cnt = in_win.astype(jnp.float32).sum(0)
+        return (lsr,
+                jnp.where(has_fire, win_sum, state.q_win_sum),
+                jnp.where(has_fire, win_sumsq, state.q_win_sumsq),
+                jnp.where(has_fire, win_cnt, state.q_win_cnt))
+
+    (last_sync_ratio, q_win_sum, q_win_sumsq,
+     q_win_cnt) = jax.lax.cond(
+        jnp.any(fires), _quality_update,
+        lambda _: (state.last_sync_ratio, state.q_win_sum,
+                   state.q_win_sumsq, state.q_win_cnt), None)
 
     positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
     vals_i32 = byte_vals.astype(jnp.int32)
@@ -308,8 +373,10 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
         next_idx=next_idx, byte_cur=byte_cur, pos=pos,
         sync_count=state.sync_count + sync_fired,
         eod_count=state.eod_count + eod_fired,
+        last_sync_ratio=last_sync_ratio,
+        q_win_sum=q_win_sum, q_win_sumsq=q_win_sumsq, q_win_cnt=q_win_cnt,
     )
-    return new_state, DemodOut(
+    return new_state, _fd.DemodOut(
         bytes_out=bytes_out, byte_count=byte_count,
         sync_fired=sync_fired, eod_fired=eod_fired,
         mean_amplitude=amps.mean(0))
