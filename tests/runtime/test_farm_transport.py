@@ -1,0 +1,167 @@
+"""Farm-scale transport integration: N concurrent XModem sessions over
+ONE batched ModemFarm pair, decoded bytes drained through the native
+C++ deframer (the BASELINE north-star topology: transport per channel
+x thousands of channels per chip, reference analog core.ts:297-305 x
+demo/demo.js:233-250)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
+from webaudio_modem_tpu.runtime.farm_channel import FarmLoopbackHub
+from webaudio_modem_tpu.transports.xmodem import XModemTransport
+
+
+def awgn(noise_power: float, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    amp = np.sqrt(3.0 * noise_power)
+
+    def fn(frame):
+        return frame + amp * (rng.uniform(size=frame.shape) * 2 - 1)
+
+    return fn
+
+
+async def _run_sessions(B, payloads, channel_fn=None, timeout_ms=60000,
+                        config=None, quantum=4800):
+    hub = FarmLoopbackHub(config or DEFAULT_FSK_CONFIG, B,
+                          quantum=quantum, channel_fn=channel_fn)
+    pump = asyncio.ensure_future(hub.run())
+    senders = [XModemTransport(hub.channel("a", i)) for i in range(B)]
+    receivers = [XModemTransport(hub.channel("b", i)) for i in range(B)]
+    for t in senders + receivers:
+        t.configure({"timeout_ms": timeout_ms})
+    try:
+        recv_tasks = [asyncio.ensure_future(r.receive_data())
+                      for r in receivers]
+        await asyncio.sleep(0)
+        send_tasks = [asyncio.ensure_future(s.send_data(p))
+                      for s, p in zip(senders, payloads)]
+        await asyncio.gather(*send_tasks)
+        results = await asyncio.gather(*recv_tasks)
+    finally:
+        hub.stop()
+        await pump
+    return results, hub, senders, receivers
+
+
+async def test_64_concurrent_sessions_exact():
+    """>= 64 concurrent ARQ sessions over one batched audio stream with
+    AWGN on; every payload must arrive exactly."""
+    B = 64
+    payloads = [bytes([i]) + f"session {i:03d} payload".encode()
+                + bytes(range(i % 32)) for i in range(B)]
+    results, hub, senders, _ = await _run_sessions(
+        B, payloads, channel_fn=awgn(1e-4))
+    assert results == payloads
+    status = hub.get_status()
+    assert status["native_deframer"], \
+        "C++ deframer must be on the farm drain path"
+    for s in senders:
+        assert s.get_statistics().packets_sent >= 2  # data + EOT
+
+
+async def test_multi_fragment_farm_transfer():
+    """Payloads spanning several XModem fragments, smaller batch."""
+    B = 8
+    payloads = [bytes([0x40 + i]) * (200 + i) for i in range(B)]
+    results, hub, senders, _ = await _run_sessions(B, payloads)
+    assert results == payloads
+    for s in senders:
+        assert s.get_statistics().packets_sent >= 3  # 2 fragments + EOT
+
+
+async def test_farm_channel_frame_path_used():
+    """The transport must take the framed (deframer) receive path over
+    a FarmDataChannel."""
+    hub = FarmLoopbackHub(DEFAULT_FSK_CONFIG, 2)
+    ch = hub.channel("a", 0)
+    t = XModemTransport(ch)
+    assert ch.supports_frames
+    assert t._frames_supported()
+
+
+async def test_farm_channel_modulate_resolves_on_playout():
+    hub = FarmLoopbackHub(DEFAULT_FSK_CONFIG, 2, quantum=4800)
+    ch = hub.channel("a", 0)
+    done = []
+
+    async def tx():
+        await ch.modulate(b"\x06")
+        done.append(True)
+
+    task = asyncio.ensure_future(tx())
+    await asyncio.sleep(0)
+    assert not done  # nothing pumped yet
+    for _ in range(10):
+        hub.step()
+        await asyncio.sleep(0)
+        if done:
+            break
+    assert done
+    await task
+    # and the peer side decoded the control byte through the deframer
+    frame = await asyncio.wait_for(hub.channel("b", 0).next_frame(), 1)
+    assert frame.kind == "control" and frame.byte == 0x06
+
+
+async def test_farm_channel_reset_clears_pending():
+    from webaudio_modem_tpu.utils.abort import AbortError
+
+    hub = FarmLoopbackHub(DEFAULT_FSK_CONFIG, 2)
+    ch = hub.channel("a", 1)
+    waiter = asyncio.ensure_future(ch.modulate(b"xx"))
+    await asyncio.sleep(0)
+    await ch.reset()
+    with pytest.raises(AbortError):
+        await waiter
+
+
+async def test_corrupted_frames_recovered_by_retry():
+    """Zero out a burst mid-transfer on the a->b direction: the CRC
+    fails or the packet is lost, the receiver NAKs, the sender
+    retransmits, and the payload still arrives exactly."""
+    B = 4
+    # channel_fn runs a->b first, then b->a, each pump step
+    state = {"call": 0, "killed": False}
+
+    def burst(frame):
+        state["call"] += 1
+        a2b = state["call"] % 2 == 1
+        if a2b and not state["killed"] and np.abs(frame).max() > 0.1:
+            state["killed"] = True  # kill the first active data quantum
+            return np.zeros_like(frame)
+        return frame
+
+    payloads = [bytes([0x30 + i]) * 80 for i in range(B)]
+    results, hub, senders, receivers = await _run_sessions(
+        B, payloads, channel_fn=burst, timeout_ms=8000)
+    assert results == payloads
+    assert state["killed"]
+    # the killed quantum must have caused recovery (retransmits)
+    assert sum(s.get_statistics().packets_retransmitted
+               for s in senders) > 0
+
+
+async def test_farm_sessions_are_independent():
+    """A channel with no traffic stays silent while others transfer."""
+    B = 4
+    hub = FarmLoopbackHub(DEFAULT_FSK_CONFIG, B)
+    pump = asyncio.ensure_future(hub.run())
+    tx = XModemTransport(hub.channel("a", 2))
+    rx = XModemTransport(hub.channel("b", 2))
+    tx.configure({"timeout_ms": 60000})
+    rx.configure({"timeout_ms": 60000})
+    try:
+        recv = asyncio.ensure_future(rx.receive_data())
+        await tx.send_data(b"only channel 2")
+        assert await recv == b"only channel 2"
+        # the idle channels saw no frames
+        for b in (0, 1, 3):
+            assert hub.channel("b", b)._frames_q.empty()
+            assert hub.channel("a", b)._frames_q.empty()
+    finally:
+        hub.stop()
+        await pump

@@ -1,5 +1,14 @@
 """XModem transport — half-duplex Stop-and-Wait ARQ over an IDataChannel.
 
+Two receive paths share one state machine:
+  * byte path — parses the raw ``demodulate()`` byte stream in Python
+    (reference behaviour, works over any IDataChannel);
+  * frame path — when the channel advertises ``supports_frames`` (the
+    farm-scale FarmDataChannel, runtime/farm_channel.py), consumes
+    PACKET/CONTROL events parsed by the native C++ deframer
+    (native/modem_native.cpp), so draining a 4096-channel farm never
+    touches per-byte Python.
+
 Same protocol state machine and wire behaviour as the reference
 (src/transports/xmodem/xmodem.ts): receiver initiates with NAK, sender
 tolerates a missing initial NAK (standalone mode, xmodem.ts:109-121),
@@ -279,6 +288,9 @@ class XModemTransport(ITransport):
         await self._with_retry(attempt, self.config.max_retries, on_retry,
                                external)
 
+    def _frames_supported(self) -> bool:
+        return bool(getattr(self.data_channel, "supports_frames", False))
+
     # -- receive path (xmodem.ts:221-335) -----------------------------------
 
     def _initialize_receive(self) -> None:
@@ -296,6 +308,8 @@ class XModemTransport(ITransport):
 
     async def _receive_all_packets(
             self, external: Optional[AbortSignal]) -> List[bytes]:
+        if self._frames_supported():
+            return await self._receive_all_packets_framed(external)
         while True:
             self._check_abort(external)
             try:
@@ -318,7 +332,7 @@ class XModemTransport(ITransport):
                 if self._send_retries > self.config.max_retries:
                     raise TimeoutError(
                         f"Receive failed after max retries: {error}")
-                self._recv_buffer = []
+                self._flush_rx()
                 await self.send_control("NAK")
             except (TimeoutError, ValueError) as error:
                 logger.debug("Error during receive_data: %s", error)
@@ -328,7 +342,7 @@ class XModemTransport(ITransport):
                         f"Receive failed after max retries: {error}")
                 # flush RX buffer so payload bytes are not misread as
                 # control bytes (xmodem.ts:256-259)
-                self._recv_buffer = []
+                self._flush_rx()
                 await self.send_control("NAK")
         return self._recv_data
 
@@ -395,6 +409,107 @@ class XModemTransport(ITransport):
                 f"Unexpected sequence number: expected "
                 f"{self._recv_expected_sequence}, got {seq}")
 
+    # -- frame fast path (native deframer events) ----------------------------
+
+    async def _receive_all_packets_framed(
+            self, external: Optional[AbortSignal]) -> List[bytes]:
+        """Same state machine as the byte path, driven by parsed wire
+        events instead of raw bytes."""
+        from webaudio_modem_tpu.native import deframer as df
+
+        while True:
+            self._check_abort(external)
+            try:
+                frame = await self.data_channel.next_frame(
+                    signal=self._create_timeout_signal(external))
+                if frame.kind == df.CONTROL and \
+                        frame.byte == ControlType.EOT:
+                    logger.debug("EOT frame received")
+                    await self.send_control("ACK")
+                    break
+                if frame.kind == df.PACKET:
+                    await self._accept_frame_packet(frame)
+                elif frame.kind == df.BAD_SEQ:
+                    self.statistics.packets_dropped += 1
+                    self.emit("error", Event(
+                        {"error": "Invalid sequence number"}))
+                    raise ValueError("Invalid sequence number")
+                elif frame.kind == df.BAD_CRC:
+                    self.statistics.packets_received += 1
+                    self.statistics.packets_dropped += 1
+                    metrics.incr("xmodem.packets_received")
+                    self.emit("error", Event({"error": "Invalid CRC"}))
+                    raise ValueError("Invalid CRC")
+                else:
+                    logger.debug("frame ignored: %s", frame.kind)
+                    continue
+            except AbortError as error:
+                if self._externally_aborted(external) or self._op_aborted():
+                    raise
+                self._send_retries += 1
+                if self._send_retries > self.config.max_retries:
+                    raise TimeoutError(
+                        f"Receive failed after max retries: {error}")
+                self._flush_rx()
+                await self.send_control("NAK")
+            except (TimeoutError, ValueError) as error:
+                logger.debug("Error during framed receive: %s", error)
+                self._send_retries += 1
+                if self._send_retries > self.config.max_retries:
+                    raise TimeoutError(
+                        f"Receive failed after max retries: {error}")
+                self._flush_rx()
+                await self.send_control("NAK")
+        return self._recv_data
+
+    async def _accept_frame_packet(self, frame) -> None:
+        """Sequence handling for a CRC-valid parsed packet — identical
+        rules to _receive_and_process_packet (accept / re-ACK duplicate
+        previous / fatal on unexpected)."""
+        seq = frame.seq
+        if seq == self._recv_expected_sequence:
+            self.statistics.packets_received += 1
+            metrics.incr("xmodem.packets_received")
+            self._recv_data.append(frame.payload)
+            self.emit("fragmentReceived", Event({
+                "seq_num": seq,
+                "fragment": frame.payload,
+                "total_fragments": len(self._recv_data),
+                "total_bytes_received": sum(len(d)
+                                            for d in self._recv_data),
+                "timestamp": time.time(),
+            }))
+            self._recv_expected_sequence = \
+                (self._recv_expected_sequence % 255) + 1
+            self._send_retries = 0
+            self._state_changed(State.RECEIVING_SEND_ACK,
+                                f"Sending ACK for sequence {seq}")
+            await self.send_control("ACK")
+            self._state_changed(State.RECEIVING_WAIT_BLOCK,
+                                "Waiting for next block")
+        elif self._is_previous_sequence(seq, self._recv_expected_sequence):
+            self.statistics.packets_dropped += 1
+            logger.debug("Duplicate frame ignored: seq=%d (expected=%d)",
+                         seq, self._recv_expected_sequence)
+            await self.send_control("ACK")
+        else:
+            self.statistics.packets_dropped += 1
+            self.emit("error", Event({
+                "error": "Unexpected sequence number",
+                "expected": self._recv_expected_sequence,
+                "received": seq}))
+            raise ValueError(
+                f"Unexpected sequence number: expected "
+                f"{self._recv_expected_sequence}, got {seq}")
+
+    def _flush_rx(self) -> None:
+        """Discard partial RX state before NAK-retry (xmodem.ts:256-259):
+        byte buffer on the byte path, queued frames + deframer buffer on
+        the frame path."""
+        self._recv_buffer = []
+        if self._frames_supported():
+            self.data_channel.flush_frames()
+
     # -- byte-level helpers (xmodem.ts:389-502) ------------------------------
 
     async def _wait_and_skip_for_control(self, control_type: ControlType,
@@ -406,6 +521,16 @@ class XModemTransport(ITransport):
                 return
 
     async def _wait_for_control_byte(self, signal: AbortSignal) -> int:
+        if self._frames_supported():
+            from webaudio_modem_tpu.native import deframer as df
+
+            while True:
+                signal.throw_if_aborted()
+                frame = await self.data_channel.next_frame(signal=signal)
+                if frame.kind == df.CONTROL:
+                    logger.debug("Control frame received: %d", frame.byte)
+                    return frame.byte
+                logger.debug("Non-control frame ignored: %s", frame.kind)
         while True:
             signal.throw_if_aborted()
             data = await self.data_channel.demodulate(signal=signal)
@@ -419,6 +544,18 @@ class XModemTransport(ITransport):
     async def _wait_for_ack(self, signal: AbortSignal) -> None:
         """Wait specifically for ACK, ignoring everything else including
         the echo of our own EOT (xmodem.ts:442-470)."""
+        if self._frames_supported():
+            from webaudio_modem_tpu.native import deframer as df
+
+            while True:
+                signal.throw_if_aborted()
+                frame = await self.data_channel.next_frame(signal=signal)
+                if frame.kind == df.CONTROL and \
+                        frame.byte == ControlType.ACK:
+                    logger.debug("ACK frame received")
+                    return
+                logger.debug("Non-ACK frame ignored while waiting: %s",
+                             frame.kind)
         while True:
             signal.throw_if_aborted()
             data = await self.data_channel.demodulate(signal=signal)
