@@ -59,6 +59,23 @@ class TestXModemOverAudio:
         assert received == data
         assert sender.get_statistics().packets_sent >= 4  # 3 data + EOT
 
+    async def test_500_byte_transfer(self):
+        # the reference's large-payload browser E2E
+        # (fsk-processor-integration-browser.test.ts:123-269): 500 bytes
+        # = 4 fragments at the 128-byte default payload size, decoded
+        # exactly through the full audio stack
+        graph, sender, receiver = _make_stack()
+        events = []
+        receiver.on("fragmentReceived",
+                    lambda ev: events.append(ev.data["seq_num"]))
+        data = bytes((i * 7 + 13) & 0xFF for i in range(500))
+        received = await _transfer(graph, sender, receiver, data,
+                                   timeout=500)
+        assert received == data
+        assert sender.get_statistics().bytes_transferred == 500
+        assert sender.get_statistics().packets_sent >= 5  # 4 data + EOT
+        assert events == [1, 2, 3, 4]  # progress events in order
+
     async def test_transfer_over_noisy_channel(self):
         # XModem over a noisy audio channel (BASELINE config 3); noise
         # power sized ~30 dB below the FSK tone power (~0.5)

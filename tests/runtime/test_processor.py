@@ -112,6 +112,48 @@ class TestProcessorUnit:
         await _drive(graph, lambda: done)
         await task
 
+    async def test_abort_listener_cleanup_after_success(self, proc):
+        # reference WebAudioDataChannel listener-cleanup contract
+        # (fsk-processor-integration-browser.test.ts:489-797): after an
+        # operation COMPLETES, its abort listener must be removed from
+        # the caller's signal
+        controller = AbortController()
+        graph = AudioGraph(quantum=512)
+        graph.connect(proc)
+        done = False
+
+        async def run():
+            nonlocal done
+            await proc.modulate(b"\x42", signal=controller.signal)
+            done = True
+
+        task = asyncio.ensure_future(run())
+        await _drive(graph, lambda: done)
+        await task
+        assert controller.signal._listeners == []
+
+    async def test_abort_listener_cleanup_after_demodulate(self, proc):
+        controller = AbortController()
+        task = asyncio.ensure_future(
+            proc.demodulate(signal=controller.signal))
+        await asyncio.sleep(0)
+        assert len(controller.signal._listeners) == 1
+        # deliver one byte through the audio path
+        sig = proc.fsk_core.modulate_data(b"\x55")
+        proc.process(np.asarray(sig), None)
+        assert await task == b"\x55"
+        assert controller.signal._listeners == []
+
+    async def test_abort_listener_cleanup_after_abort(self, proc):
+        controller = AbortController()
+        task = asyncio.ensure_future(
+            proc.modulate(b"\x42", signal=controller.signal))
+        await asyncio.sleep(0.01)
+        controller.abort()
+        with pytest.raises(AbortError):
+            await task
+        assert controller.signal._listeners == []
+
     async def test_reset_clears_state(self, proc):
         proc.demodulated_buffer.put(1)
         await proc.reset()

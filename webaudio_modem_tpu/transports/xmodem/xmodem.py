@@ -208,11 +208,14 @@ class XModemTransport(ITransport):
     async def _wait_for_initial_nak(self,
                                     external: Optional[AbortSignal]) -> None:
         try:
-            await self._wait_and_skip_for_control(
-                ControlType.NAK, self._create_timeout_signal(external))
+            await self._with_timeout(
+                external,
+                lambda sig: self._wait_and_skip_for_control(
+                    ControlType.NAK, sig))
             logger.debug("Initial NAK received")
         except AbortError as error:
-            if self._externally_aborted(external):
+            if self._externally_aborted(external) or \
+                    not self._is_timeout_abort(error):
                 raise AbortError("Operation aborted at send_data")
             # timeout — continue without initial NAK (standalone mode)
             logger.warning("No initial NAK received (standalone mode): %s",
@@ -239,8 +242,8 @@ class XModemTransport(ITransport):
                     f"Waiting for ACK for fragment {idx + 1}/"
                     f"{len(self._send_fragments)}")
                 while True:
-                    byte = await self._wait_for_control_byte(
-                        self._create_timeout_signal(external))
+                    byte = await self._with_timeout(
+                        external, self._wait_for_control_byte)
                     if byte == ControlType.ACK:
                         # packet-send -> ACK round-trip (the reference
                         # declares averageRoundTripTime but never
@@ -278,7 +281,7 @@ class XModemTransport(ITransport):
             self._state_changed(State.SENDING_WAIT_FINAL_ACK,
                                 "Sending EOT, waiting for final ACK")
             await self.send_control("EOT")
-            await self._wait_for_ack(self._create_timeout_signal(external))
+            await self._with_timeout(external, self._wait_for_ack)
             logger.debug("Final ACK received")
 
         def on_retry(count):
@@ -287,6 +290,16 @@ class XModemTransport(ITransport):
 
         await self._with_retry(attempt, self.config.max_retries, on_retry,
                                external)
+
+    async def _with_timeout(self, external, op):
+        """Run ``op(signal)`` under a fresh composite timeout signal,
+        detaching it afterwards so listeners/timers never accumulate on
+        the long-lived external/operation signals."""
+        signal = self._create_timeout_signal(external)
+        try:
+            return await op(signal)
+        finally:
+            signal.detach()
 
     def _frames_supported(self) -> bool:
         return bool(getattr(self.data_channel, "supports_frames", False))
@@ -313,8 +326,8 @@ class XModemTransport(ITransport):
         while True:
             self._check_abort(external)
             try:
-                first = await self._wait_for_byte(
-                    self._create_timeout_signal(external))
+                first = await self._with_timeout(
+                    external, self._wait_for_byte)
                 if first == ControlType.EOT:
                     logger.debug("EOT received")
                     await self.send_control("ACK")
@@ -325,7 +338,9 @@ class XModemTransport(ITransport):
                     logger.debug("received byte ignored: %d", first)
                     continue
             except AbortError as error:
-                if self._externally_aborted(external) or self._op_aborted():
+                if self._externally_aborted(external) or \
+                        self._op_aborted() or \
+                        not self._is_timeout_abort(error):
                     raise
                 # local timeout — NAK and retry
                 self._send_retries += 1
@@ -348,8 +363,8 @@ class XModemTransport(ITransport):
 
     async def _receive_and_process_packet(
             self, external: Optional[AbortSignal]) -> None:
-        header = await self._wait_for_bytes(
-            3, self._create_timeout_signal(external))
+        header = await self._with_timeout(
+            external, lambda sig: self._wait_for_bytes(3, sig))
         seq, nseq, length = header[0], header[1], header[2]
 
         if (seq + nseq) != 255:
@@ -362,8 +377,9 @@ class XModemTransport(ITransport):
                      seq, nseq, length)
 
         if seq == self._recv_expected_sequence:
-            payload_crc = await self._wait_for_bytes(
-                length + 2, self._create_timeout_signal(external))
+            payload_crc = await self._with_timeout(
+                external,
+                lambda sig: self._wait_for_bytes(length + 2, sig))
             self.statistics.packets_received += 1
             metrics.incr("xmodem.packets_received")
             payload = bytes(payload_crc[:length])
@@ -394,8 +410,9 @@ class XModemTransport(ITransport):
                                 "Waiting for next block")
         elif self._is_previous_sequence(seq, self._recv_expected_sequence):
             # duplicate — consume payload, ACK, drop (xmodem.ts:309-314)
-            await self._wait_for_bytes(
-                length + 2, self._create_timeout_signal(external))
+            await self._with_timeout(
+                external,
+                lambda sig: self._wait_for_bytes(length + 2, sig))
             self.statistics.packets_dropped += 1
             logger.debug("Duplicate packet ignored: seq=%d (expected=%d)",
                          seq, self._recv_expected_sequence)
@@ -420,8 +437,9 @@ class XModemTransport(ITransport):
         while True:
             self._check_abort(external)
             try:
-                frame = await self.data_channel.next_frame(
-                    signal=self._create_timeout_signal(external))
+                frame = await self._with_timeout(
+                    external,
+                    lambda sig: self.data_channel.next_frame(signal=sig))
                 if frame.kind == df.CONTROL and \
                         frame.byte == ControlType.EOT:
                     logger.debug("EOT frame received")
@@ -444,7 +462,9 @@ class XModemTransport(ITransport):
                     logger.debug("frame ignored: %s", frame.kind)
                     continue
             except AbortError as error:
-                if self._externally_aborted(external) or self._op_aborted():
+                if self._externally_aborted(external) or \
+                        self._op_aborted() or \
+                        not self._is_timeout_abort(error):
                     raise
                 self._send_retries += 1
                 if self._send_retries > self.config.max_retries:
@@ -600,12 +620,18 @@ class XModemTransport(ITransport):
 
     def _create_timeout_signal(
             self, external: Optional[AbortSignal]) -> AbortSignal:
-        signals = [AbortSignal.timeout(self.config.timeout_ms)]
+        timeout = AbortSignal.timeout(self.config.timeout_ms)
+        signals = [timeout]
         if external is not None:
             signals.append(external)
         if self._operation_controller is not None:
             signals.append(self._operation_controller.signal)
-        return AbortSignal.any(signals) if len(signals) > 1 else signals[0]
+        if len(signals) == 1:
+            return timeout
+        combined = AbortSignal.any(signals)
+        # the private timeout child dies with the composite
+        combined._cleanup.append(timeout.detach)
+        return combined
 
     def _state_changed(self, new_state: State,
                        context: str = "") -> None:
@@ -625,6 +651,14 @@ class XModemTransport(ITransport):
             raise RuntimeError(
                 f"Transport busy: {operation} cannot start while in "
                 f"{self._state.value} state")
+
+    @staticmethod
+    def _is_timeout_abort(error: AbortError) -> bool:
+        """True when an AbortError came from a composite-timeout signal
+        (reason TimeoutError) — retryable; every other abort (external
+        signal, reset, channel-level abort) is fatal, matching the
+        reference's isAbortError/withRetry split (xmodem.ts:580-628)."""
+        return isinstance(getattr(error, "reason", None), TimeoutError)
 
     def _op_aborted(self) -> bool:
         return (self._operation_controller is not None
@@ -647,9 +681,12 @@ class XModemTransport(ITransport):
             self._check_abort(external)
             try:
                 return await operation()
-            except AbortError:
-                # distinguish a pure timeout (retryable) from a real abort
-                if self._externally_aborted(external):
+            except AbortError as error:
+                # distinguish a pure timeout (retryable) from a real
+                # abort: external signal, reset, or a channel-level
+                # abort are all fatal (reference isAbortError split)
+                if self._externally_aborted(external) or \
+                        not self._is_timeout_abort(error):
                     raise AbortError("Operation aborted")
                 retries += 1
                 if retries > max_retries:

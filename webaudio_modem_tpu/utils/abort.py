@@ -30,6 +30,7 @@ class AbortSignal:
         self._reason: Any = None
         self._listeners: List[Callable[[], None]] = []
         self._event: Optional[asyncio.Event] = None
+        self._cleanup: List[Callable[[], None]] = []
 
     @property
     def aborted(self) -> bool:
@@ -67,6 +68,17 @@ class AbortSignal:
         if self._event is not None:
             self._event.set()
 
+    def detach(self) -> None:
+        """Release externally held resources: composite signals
+        (``any``) unregister from their children, timeout signals cancel
+        their loop timer.  Call when a per-operation signal is no longer
+        needed — long-running transports create one composite per wait,
+        and without detaching, listeners/timers accumulate on the
+        long-lived external signal and the event loop."""
+        cleanup, self._cleanup = self._cleanup, []
+        for fn in cleanup:
+            fn()
+
     async def wait(self) -> None:
         """Await until this signal aborts (never resolves otherwise)."""
         if self._aborted:
@@ -85,8 +97,10 @@ class AbortSignal:
         loop = asyncio.get_running_loop()
         handle = loop.call_later(
             ms / 1000.0, lambda: signal._do_abort(TimeoutError("timeout")))
-        # Cancel the timer once aborted from elsewhere (no-op if it fired).
+        # Cancel the timer once aborted from elsewhere (no-op if it
+        # fired) and on detach.
         signal.add_listener(handle.cancel)
+        signal._cleanup.append(handle.cancel)
         return signal
 
     @staticmethod
@@ -99,7 +113,10 @@ class AbortSignal:
                 combined._do_abort(s.reason)
                 return combined
         for s in signals:
-            s.add_listener(lambda s=s: combined._do_abort(s.reason))
+            cb = (lambda s=s: combined._do_abort(s.reason))
+            s.add_listener(cb)
+            combined._cleanup.append(
+                lambda s=s, cb=cb: s.remove_listener(cb))
         return combined
 
 
