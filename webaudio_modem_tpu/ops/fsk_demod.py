@@ -463,15 +463,26 @@ def _sync_ratios(params: FSKParams, ext_bits):
     csum = jnp.cumsum(
         jnp.concatenate([jnp.zeros_like(ext_bits[:1]), ext_bits], 0),
         axis=0)
-    # R_at(i) = sum of ds bits ending at ext index i = csum[i+1]-csum[i+1-ds]
+    # R(i) = sum of the ds bits ending at ext index i.  Materialize it
+    # ONCE as bf16 — values are integers in [0, ds] (ds < 256), exact in
+    # bf16 — so the n_pat shifted accumulations below read half the
+    # bytes they would reading f32 cumsum slices (the sync correlation
+    # is HBM-bound: ~n_pat full passes over a [n_ds, B] plane).
+    # Needed index range: i = W + t - j*ds, t in [0, n_ds), j in
+    # [1, n_pat) -> [ds, W - ds + n_ds).
+    base = ds  # smallest needed index
+    hi = W - ds + n_ds
+    r16 = (csum[base + 1:hi + 1] - csum[base + 1 - ds:hi + 1 - ds]
+           ).astype(jnp.bfloat16)
     matched = jnp.zeros_like(ext_bits[:n_ds])
+    n_zero_blocks = sum(1 for j in range(1, n_pat)
+                        if params.pattern_bits[n_pat - j] == 0)
     for j in range(1, n_pat):
         p = params.pattern_bits[n_pat - j]
-        # positions i = W + t - j*ds for t in [0, n_ds)
-        lo = W - j * ds
-        r = csum[lo + 1:lo + 1 + n_ds] - csum[lo + 1 - ds:
-                                              lo + 1 - ds + n_ds]
-        matched = matched + (r if p == 1 else (ds - r))
+        off = W - j * ds - base  # position of t=0 in r16
+        r = r16[off:off + n_ds].astype(jnp.float32)
+        matched = matched + (r if p == 1 else -r)
+    matched = matched + jnp.float32(n_zero_blocks * ds)
     return matched / W
 
 

@@ -127,10 +127,11 @@ def _stage_d_call(params: FSKParams, n_ds: int, gpb: int, interpret: bool,
 
 
 def stage_d(params: FSKParams, state, bits, amps, ratios, means,
-            gate_fill, T_blk_groups: int = 64, interpret: bool = False):
+            gate_fill, T_blk_groups: int = 0, interpret: bool = False):
     # T_blk_groups sizes VMEM: 5 input streams + 1 output are double-
     # buffered per block; 64 groups * (B/128) rows * 128 lanes * 4 B
-    # * 6 streams * 2 ≈ 6 MB at B=4096 — inside the 16 MB budget.
+    # * 6 streams * 2 ≈ 6 MB at B=4096 — inside the 16 MB budget, and
+    # halved per batch doubling beyond 4096.
     """Pallas stage-D; same contract as fsk_demod._stage_d.
 
     All inputs time-major [n_ds, B]; returns (carry, (byte_vals, emits,
@@ -141,6 +142,11 @@ def stage_d(params: FSKParams, state, bits, amps, ratios, means,
                 state.accum, state.count, state.bsc, state.next_idx,
                 state.byte_cur, state.pos)
     ints, flts = pack_carry(carry_in)
+    if T_blk_groups == 0:
+        if B <= 4096:
+            T_blk_groups = 64
+        else:
+            T_blk_groups = max(24 * 8192 // B, 8)
     gpb = min(T_blk_groups, n_ds)
     packed, ints_out, flts_out = _stage_d_call(
         params, n_ds, gpb, interpret, ints, flts,

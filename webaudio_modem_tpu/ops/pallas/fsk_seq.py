@@ -82,6 +82,10 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
     UNROLL = 4
     n_main_iters = count // UNROLL
 
+    # bits stay a kernel output even though they equal
+    # sign(polarity*soft): measured on v5e, emitting the third stream
+    # here beats materializing it with XLA outside (61.0k vs 59.5k
+    # bench channels).
     def body_u(j, carry):
         slab = x_ref[pl.ds(j * (UNROLL * ratio), UNROLL * ratio)]
         bits_u, amps_u, softs_u = [], [], []
@@ -174,7 +178,7 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
 
 
 def seq_main(params: FSKParams, fr, dsc, xT_main,
-             T_blk: int = 256, interpret: bool = False):
+             T_blk: int = 0, interpret: bool = False):
     """Pallas path for the aligned main body of the sequential stage.
 
     xT_main: time-major [n_groups*ratio, B]; B must be a multiple of
@@ -186,6 +190,15 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     if B % LANES != 0:
         raise ValueError(f"Pallas seq kernel needs B % {LANES} == 0")
     n_groups = T_m // ratio
+    if T_blk == 0:
+        # VMEM scales with rows = B/128: the input block + 3 output
+        # blocks are double-buffered, so shrink the time-block as the
+        # batch grows beyond 4096 to stay inside the ~16 MB budget
+        # (measured: 256 fits at B=4096; 128 overflows at B=8192).
+        if B <= 4096:
+            T_blk = 256
+        else:
+            T_blk = max(64 * 8192 // B, 4 * ratio)
     T_blk = min(T_blk, max(T_m, ratio))
     # Block geometry: the input block advances T_blk rows per grid step
     # while the kernel consumes gpb*ratio rows, so blocks must hold a

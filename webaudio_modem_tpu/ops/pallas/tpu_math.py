@@ -40,14 +40,38 @@ def atan(x):
     return sign * (base + poly)
 
 
+# atan(q)/q on q in [0,1] as a degree-7 polynomial in z = q^2
+# (Chebyshev fit, max error 7.5e-8 rad — float32-level).  Used by the
+# single-divide atan2 below: the old octant-reduced Cephes form cost
+# THREE divides per call (y/x plus two inside atan); with |y|,|x|
+# min/max reduction the argument is already in [0,1], so one divide and
+# one Horner chain suffice — the demod kernel is VPU-issue-bound and
+# atan2 runs once per downsample group.
+_ATAN_POLY = (  # plain Python floats: jnp scalars here would be
+    # captured as pallas_call constants (Mosaic rejects that)
+    -4.6687733075e-03,
+    2.4166189522e-02,
+    -5.9367100789e-02,
+    9.9060968960e-02,
+    -1.4016585042e-01,
+    1.9969235395e-01,
+    -3.3331959724e-01,
+    9.9999989775e-01,
+)
+
+
 def atan2(y, x):
-    """float32 atan2 with numpy quadrant conventions."""
-    safe_x = jnp.where(x == 0, jnp.float32(1.0), x)
-    r = atan(y / safe_x)
-    return jnp.where(
-        x > 0, r,
-        jnp.where(
-            x < 0,
-            jnp.where(y >= 0, r + _PI, r - _PI),
-            jnp.where(y > 0, _PI_2,
-                      jnp.where(y < 0, -_PI_2, jnp.float32(0.0)))))
+    """float32 atan2 with numpy quadrant conventions (one divide)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    q = lo / jnp.maximum(hi, jnp.float32(1e-30))  # [0, 1]; 0 at origin
+    z = q * q
+    p = jnp.float32(_ATAN_POLY[0])
+    for c in _ATAN_POLY[1:]:
+        p = p * z + jnp.float32(c)
+    a = q * p
+    a = jnp.where(ay > ax, _PI_2 - a, a)
+    a = jnp.where(x < 0, _PI - a, a)
+    return jnp.where(y < 0, -a, a)
