@@ -76,6 +76,19 @@ class TestXModemOverAudio:
         assert sender.get_statistics().packets_sent >= 5  # 4 data + EOT
         assert events == [1, 2, 3, 4]  # progress events in order
 
+    async def test_payload_whose_own_crc_tail_is_a_control_byte(self):
+        # regression: in the loopback hub the tail of one's OWN packet
+        # decodes one feedback-quantum after the post-TX RX clear; this
+        # payload's fragment-2 CRC low byte is 0x15 (NAK), which made
+        # the sender retransmit forever before the post-TX RX guard
+        # (runtime/processor.py modulate()).
+        graph, sender, receiver = _make_stack()
+        data = b"VECDRAIN-" * 40  # 360 bytes, 3 fragments
+        received = await _transfer(graph, sender, receiver, data,
+                                   timeout=500)
+        assert received == data
+        assert sender.get_statistics().packets_retransmitted == 0
+
     async def test_transfer_over_noisy_channel(self):
         # XModem over a noisy audio channel (BASELINE config 3); noise
         # power sized ~30 dB below the FSK tone power (~0.5)

@@ -112,3 +112,48 @@ def test_wraparound_ordering():
     rb.remove()
     rb.put(4)
     assert list(rb.to_array()) == [2, 3, 4]
+
+
+def test_bulk_write_wraparound_matches_scalar():
+    import numpy as np
+
+    from webaudio_modem_tpu.utils import RingBuffer
+
+    a = RingBuffer(np.uint8, 16)
+    b = RingBuffer(np.uint8, 16)
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        chunk = rng.randint(0, 256, rng.randint(1, 9), dtype=np.uint8)
+        a.write_array(chunk)
+        for v in chunk:
+            b.put(v)
+        assert a.to_array().tolist() == b.to_array().tolist()
+        if len(a) > 4:
+            n = rng.randint(1, 4)
+            got_a = a.remove_array(n)
+            got_b = [int(b.remove()) for _ in range(n)]
+            assert got_a.tolist() == got_b
+
+
+def test_bulk_write_larger_than_capacity_keeps_newest():
+    import numpy as np
+
+    from webaudio_modem_tpu.utils import RingBuffer
+
+    rb = RingBuffer(np.uint8, 8)
+    rb.put(1, 2, 3)
+    rb.write_array(np.arange(20, dtype=np.uint8))
+    assert rb.to_array().tolist() == list(range(12, 20))
+
+
+def test_bulk_read_zero_fills_underflow():
+    import numpy as np
+
+    from webaudio_modem_tpu.utils import RingBuffer
+
+    rb = RingBuffer(np.float32, 8)
+    rb.write_array(np.asarray([1.0, 2.0], np.float32))
+    out = np.full(5, -1.0, np.float32)
+    rb.read_array(out)
+    assert out.tolist() == [1.0, 2.0, 0.0, 0.0, 0.0]
+    assert len(rb) == 0

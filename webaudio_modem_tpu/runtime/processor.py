@@ -47,6 +47,7 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
         self._modulation_done: Optional[asyncio.Future] = None
         self._awaiting_data: Optional[asyncio.Future] = None
         self.process_call_count = 0
+        self._rx_guard = 0  # post-TX self-reception guard (see modulate)
 
     # -- configuration ------------------------------------------------------
 
@@ -73,8 +74,11 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
             self._pending_modulation = None
             if self._modulation_done is not None \
                     and not self._modulation_done.done():
-                self._modulation_done.set_exception(
-                    AbortError("FSK Processor Modulation aborted"))
+                # carry the signal's reason so the transport can tell a
+                # retryable timeout from a fatal abort
+                self._modulation_done.set_exception(AbortError(
+                    "FSK Processor Modulation aborted",
+                    reason=signal.reason))
 
         if signal is not None:
             signal.add_listener(on_abort)
@@ -84,8 +88,16 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
             if signal is not None:
                 signal.remove_listener(on_abort)
             self._modulation_done = None
-        # clear RX buffer to avoid self-reception (fsk-processor.ts:207)
+        # clear RX buffer to avoid self-reception (fsk-processor.ts:207).
+        # The clear alone is racy in a loopback graph: the tail of our
+        # own signal is still in flight (one feedback quantum + filter
+        # group delay) and decodes AFTER this point — if the final CRC
+        # byte of our own packet happens to be 0x15/0x06/0x04 the
+        # transport would misread it as NAK/ACK/EOT.  Guard the next two
+        # input quanta; the peer cannot answer that fast (it must first
+        # finish demodulating our tail and synthesize its reply).
         self.demodulated_buffer.clear()
+        self._rx_guard = 2
 
     async def demodulate(self,
                          signal: Optional[AbortSignal] = None) -> bytes:
@@ -97,7 +109,10 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
             def on_abort():
                 self._awaiting_data = None
                 if not fut.done():
-                    fut.set_exception(AbortError("Demodulation aborted"))
+                    # reason distinguishes timeout (retryable) from a
+                    # real abort at the transport layer
+                    fut.set_exception(AbortError("Demodulation aborted",
+                                                 reason=signal.reason))
 
             if signal is not None:
                 signal.add_listener(on_abort)
@@ -106,11 +121,8 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
             finally:
                 if signal is not None:
                     signal.remove_listener(on_abort)
-        n = len(self.demodulated_buffer)
-        out = bytearray()
-        for _ in range(n):
-            out.append(int(self.demodulated_buffer.remove()))
-        return bytes(out)
+        return bytes(self.demodulated_buffer.remove_array(
+            len(self.demodulated_buffer)))
 
     async def reset(self) -> None:
         logger.debug("[%s] reset", self.name)
@@ -146,9 +158,15 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
         except Exception:  # pragma: no cover
             logger.exception("[%s] demodulation error", self.name)
             return
+        if self._rx_guard > 0:
+            self._rx_guard -= 1
+            if demodulated:
+                logger.debug("[%s] %d self-RX tail byte(s) suppressed",
+                             self.name, len(demodulated))
+            return
         if demodulated:
-            for byte in demodulated:
-                self.demodulated_buffer.put(byte)
+            self.demodulated_buffer.write_array(
+                np.frombuffer(demodulated, dtype=np.uint8))
             if self._awaiting_data is not None \
                     and not self._awaiting_data.done():
                 self._awaiting_data.set_result(None)

@@ -66,12 +66,52 @@ class RingBuffer:
         self.put(value)
 
     def write_array(self, samples: Union[np.ndarray, Iterable]) -> None:
-        for sample in np.asarray(samples).ravel():
-            self.put(sample)
+        """Bulk put — vectorized (no per-element Python; the farm drain
+        path pushes thousands of bytes per call)."""
+        arr = np.asarray(samples, dtype=self._buffer.dtype).ravel()
+        n = len(arr)
+        if n == 0:
+            return
+        if n >= self._max_length:
+            # only the newest max_length survive (overwrite-oldest)
+            self._buffer[:] = arr[n - self._max_length:]
+            self._read_index = 0
+            self._write_index = 0
+            self._length = self._max_length
+            return
+        w = self._write_index
+        first = min(n, self._max_length - w)
+        self._buffer[w:w + first] = arr[:first]
+        if n > first:
+            self._buffer[:n - first] = arr[first:]
+        overflow = max(0, self._length + n - self._max_length)
+        self._write_index = (w + n) % self._max_length
+        self._length = min(self._length + n, self._max_length)
+        if overflow:
+            self._read_index = (self._read_index + overflow) \
+                % self._max_length
 
     def read_array(self, output: np.ndarray) -> None:
-        for i in range(len(output)):
-            output[i] = self.remove() if self._length > 0 else 0
+        """Bulk read into ``output`` — vectorized; zero-fills when the
+        buffer underflows (reference utils.ts:74-78)."""
+        want = len(output)
+        n = min(want, self._length)
+        r = self._read_index
+        first = min(n, self._max_length - r)
+        output[:first] = self._buffer[r:r + first]
+        if n > first:
+            output[first:n] = self._buffer[:n - first]
+        if want > n:
+            output[n:] = 0
+        self._read_index = (r + n) % self._max_length
+        self._length -= n
+
+    def remove_array(self, count: int) -> np.ndarray:
+        """Remove and return up to ``count`` elements as an array."""
+        n = min(int(count), self._length)
+        out = np.empty(n, dtype=self._buffer.dtype)
+        self.read_array(out)
+        return out
 
     def available_read(self) -> int:
         return self._length
