@@ -94,6 +94,11 @@ def main():
           f"throughput={B * timed_chunks * chunk_t / wall / 1e6:.0f} "
           f"Msamples/s decoded={decoded_bytes / wall / 1e3:.0f} kB/s "
           f"syncs(ch0)={syncs}", file=sys.stderr)
+    # the timed pipeline includes the full SignalQuality surface
+    # (the reference stubs it; costs ~8% — docs/PERFORMANCE.md)
+    ber, freq, jitter, eye = fsk_demod.quality_from_state(params, state)
+    print(f"quality(ch0): ber={ber[0]:.4f} freq_offset={freq[0]:+.2f}Hz "
+          f"jitter={jitter[0]:.4f} eye={eye[0]:.2f}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "concurrent_300baud_channels_realtime",
