@@ -1,0 +1,176 @@
+"""FEC layer tests — the reference's advanced-error-correction design
+memo (soft-decision + convolutional FEC + framing) implemented and
+verified."""
+
+import numpy as np
+import pytest
+
+from webaudio_modem_tpu.ops import fec
+from webaudio_modem_tpu.transports.fec_frame import (FrameDecoder,
+                                                     FrameEncoder)
+
+
+class TestConvolutionalCode:
+    def test_all_zero_input_codes_to_zero(self):
+        coded = fec.conv_encode_bits(np.zeros(32, np.uint8))
+        assert not coded.any()
+
+    def test_impulse_response_is_generator_pattern(self):
+        # a single 1 emits the generator taps as it shifts through the
+        # register (newest bit in the LSB, so tap i fires at step i)
+        coded = fec.conv_encode_bits(np.asarray([1, 0, 0, 0, 0, 0, 0]))
+        pairs = coded.reshape(-1, 2)[:7]
+        g0 = [(0o171 >> i) & 1 for i in range(7)]
+        g1 = [(0o133 >> i) & 1 for i in range(7)]
+        assert pairs[:, 0].tolist() == g0
+        assert pairs[:, 1].tolist() == g1
+
+    def test_rate_is_half_plus_flush(self):
+        n = 100
+        coded = fec.conv_encode_bits(np.ones(n, np.uint8))
+        assert len(coded) == 2 * (n + fec.K - 1)
+
+    def test_clean_roundtrip_bytes(self):
+        rng = np.random.RandomState(1)
+        for size in (1, 17, 128, 500):
+            data = bytes(rng.randint(0, 256, size, dtype=np.uint8))
+            assert fec.decode_bytes(fec.encode_bytes(data), size) == data
+
+    def test_corrects_random_bit_errors(self):
+        rng = np.random.RandomState(2)
+        data = bytes(rng.randint(0, 256, 100, dtype=np.uint8))
+        bits = fec.bytes_to_bits(fec.encode_bytes(data))[:2 * 806]
+        ok = 0
+        for _ in range(10):
+            noisy = bits.copy()
+            noisy[rng.uniform(size=len(bits)) < 0.03] ^= 1
+            dec = fec.bits_to_bytes(
+                fec.viterbi_decode_bits(noisy, 800))[:100]
+            ok += dec == data
+        assert ok >= 9  # 3% random coded-bit errors: essentially always
+
+    def test_soft_decision_beats_hard(self):
+        # the memo's core motivation: soft values buy ~2 dB
+        rng = np.random.RandomState(0)
+        data = bytes(rng.randint(0, 256, 100, dtype=np.uint8))
+        bits = fec.bytes_to_bits(fec.encode_bytes(data))[:2 * 806]
+        tx = bits.astype(np.float64) * 2 - 1
+        soft_ok = hard_ok = 0
+        for _ in range(20):
+            rx = tx + 0.65 * rng.standard_normal(len(tx))
+            ds = fec.bits_to_bytes(fec.viterbi_decode_soft(rx, 800))[:100]
+            dh = fec.bits_to_bytes(fec.viterbi_decode_bits(
+                (rx > 0).astype(np.uint8), 800))[:100]
+            soft_ok += ds == data
+            hard_ok += dh == data
+        assert soft_ok >= 18
+        assert soft_ok > hard_ok
+
+    def test_batched_decode(self):
+        # channel batching is a leading axis, like every other kernel
+        rng = np.random.RandomState(3)
+        B = 32
+        datas = [bytes(rng.randint(0, 256, 50, dtype=np.uint8))
+                 for _ in range(B)]
+        softs = np.stack([
+            fec.bytes_to_bits(fec.encode_bytes(d))[:2 * 406]
+            .astype(np.float32) * 2 - 1 for d in datas])
+        decs = fec.viterbi_decode_soft(softs, 400)
+        assert decs.shape == (B, 400)
+        for b in range(B):
+            assert fec.bits_to_bytes(decs[b])[:50] == datas[b]
+
+
+class TestFrameCodec:
+    def test_roundtrip_single_frame(self):
+        payload = b"framed payload 123"
+        frame = FrameEncoder.encode_frame(payload)
+        assert len(frame) == FrameEncoder.coded_frame_length(len(payload))
+        dec = FrameDecoder()
+        assert dec.process(frame) == [payload]
+
+    def test_empty_payload_frame(self):
+        frame = FrameEncoder.encode_frame(b"")
+        assert FrameDecoder().process(frame) == [b""]
+
+    def test_streaming_byte_by_byte(self):
+        payload = bytes(range(64))
+        frame = FrameEncoder.encode_frame(payload)
+        dec = FrameDecoder()
+        got = []
+        for i in range(len(frame)):
+            got += dec.process(frame[i:i + 1])
+        assert got == [payload]
+
+    def test_multiple_frames_back_to_back(self):
+        payloads = [b"one", b"two two", b"", b"four" * 20]
+        stream = b"".join(FrameEncoder.encode_frame(p) for p in payloads)
+        assert FrameDecoder().process(stream) == payloads
+
+    def test_junk_prefix_resyncs(self):
+        payload = b"after junk"
+        stream = b"\x00\xff\x37" + FrameEncoder.encode_frame(payload)
+        dec = FrameDecoder()
+        assert dec.process(stream) == [payload]
+        assert dec.headers_resynced >= 1
+
+    def test_bit_errors_inside_frame_corrected(self):
+        rng = np.random.RandomState(5)
+        payload = bytes(rng.randint(0, 256, 120, dtype=np.uint8))
+        frame = bytearray(FrameEncoder.encode_frame(payload))
+        # flip ~1.5% of the coded BITS, spread out
+        for i in rng.choice(len(frame) * 8, size=len(frame) // 8,
+                            replace=False):
+            frame[i // 8] ^= 1 << (i % 8)
+        assert FrameDecoder().process(bytes(frame)) == [payload]
+
+    def test_uncorrectable_body_reported_and_stream_recovers(self):
+        errors = []
+        dec = FrameDecoder(on_error=errors.append)
+        good = FrameEncoder.encode_frame(b"good")
+        bad = bytearray(FrameEncoder.encode_frame(b"bad frame here"))
+        # destroy a burst in the body (beyond correction), header intact
+        from webaudio_modem_tpu.transports.fec_frame import HEADER_CODED
+        for i in range(HEADER_CODED + 2, HEADER_CODED + 14):
+            bad[i] ^= 0xFF
+        got = dec.process(bytes(bad) + good)
+        assert got == [b"good"]
+        assert dec.bodies_dropped == 1
+        assert errors and "CRC" in errors[0]
+
+    def test_reset_clears_partial_state(self):
+        dec = FrameDecoder()
+        frame = FrameEncoder.encode_frame(b"partial")
+        dec.process(frame[:10])
+        dec.reset()
+        assert dec.pending() == 0
+        assert dec.process(frame) == [b"partial"]
+
+
+class TestFecOverModem:
+    def test_fec_frames_over_fsk_audio(self):
+        # end-to-end: FEC frame -> FSK audio -> demod -> FrameDecoder
+        from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
+        from webaudio_modem_tpu.models.fsk import FSKCore
+
+        core = FSKCore(DEFAULT_FSK_CONFIG)
+        payload = b"FEC over FSK audio!"
+        frame = FrameEncoder.encode_frame(payload)
+        sig = core.modulate_data(frame)
+        received = core.demodulate_data(sig)
+        assert FrameDecoder().process(received) == [payload]
+
+    def test_fec_recovers_byte_corruption_raw_does_not(self):
+        # the headline capability: with the same corrupted byte stream,
+        # the raw payload is damaged but the FEC frame decodes exactly
+        rng = np.random.RandomState(9)
+        payload = bytes(rng.randint(0, 256, 200, dtype=np.uint8))
+        frame = bytearray(FrameEncoder.encode_frame(payload))
+        raw = bytearray(payload)
+        # corrupt ~1% of bits in both streams
+        for buf in (frame, raw):
+            n = max(1, len(buf) * 8 // 100)
+            for i in rng.choice(len(buf) * 8, size=n, replace=False):
+                buf[i // 8] ^= 1 << (i % 8)
+        assert bytes(raw) != payload           # raw stream is damaged
+        assert FrameDecoder().process(bytes(frame)) == [payload]

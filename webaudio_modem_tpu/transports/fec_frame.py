@@ -1,0 +1,123 @@
+"""FEC frame layer — the reference's designed-but-never-built
+error-correction framing (/root/reference/advanced-error-correction.md).
+
+The memo specifies a ``FrameEncoder`` that frames + FEC-encodes a
+payload in one step and a stream-oriented ``FrameDecoder`` that
+buffers partial input, detects frame boundaries, FEC-decodes and
+extracts complete frames (interface sketch in the memo's
+``インターフェース例``); it also requires explicit valid-data-length
+management in the frame header.  This implements that contract over
+the rate-1/2 K=7 convolutional code (ops/fec.py):
+
+    frame := coded(header) || coded(body)
+      header = LEN(2, big-endian) + CRC16(LEN)            (4 bytes)
+      body   = payload + CRC16(payload)                   (len+2 bytes)
+
+Each part is separately convolutionally encoded with trellis flush, so
+the decoder can recover LEN first (validated by its own CRC — the
+boundary-detection role), then decode exactly the right number of
+coded body bytes.  A header whose CRC fails causes a one-byte slide
+and resync (junk tolerance); a body whose CRC fails is reported via
+the ``on_error`` hook and skipped (the memo's error-notification /
+retransmission hook).
+
+The layer is byte-oriented and sits ON TOP of any IDataChannel/modem
+byte stream — it protects against bit corruption inside delivered
+bytes; erasures are left to the ARQ layer above, matching the memo's
+layering (sync -> FEC decode -> frame extraction).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from webaudio_modem_tpu.ops import fec
+from webaudio_modem_tpu.utils.crc16 import CRC16
+
+HEADER_PLAIN = 4                       # LEN(2) + CRC16(LEN)
+HEADER_CODED = fec.coded_length(HEADER_PLAIN)
+MAX_PAYLOAD = 65535
+
+
+class FrameEncoder:
+    """Payload -> framed + FEC-coded bytes (memo: FrameEncoder)."""
+
+    @staticmethod
+    def encode_frame(payload: bytes) -> bytes:
+        payload = bytes(payload)
+        if len(payload) > MAX_PAYLOAD:
+            raise ValueError("payload too large for a single frame")
+        ln = len(payload)
+        header = bytes([ln >> 8, ln & 0xFF])
+        header += CRC16.calculate(header).to_bytes(2, "big")
+        body = payload + CRC16.calculate(payload).to_bytes(2, "big")
+        return fec.encode_bytes(header) + fec.encode_bytes(body)
+
+    @staticmethod
+    def coded_frame_length(payload_len: int) -> int:
+        return HEADER_CODED + fec.coded_length(payload_len + 2)
+
+
+class FrameDecoder:
+    """Streaming coded bytes -> decoded frames (memo: FrameDecoder).
+
+    ``process(data)`` ingests any number of bytes and returns the list
+    of completed, CRC-valid payloads (empty if more input is needed).
+    Partial frames are buffered internally; invalid headers slide one
+    byte for resync; corrupt bodies are skipped and reported through
+    ``on_error``.
+    """
+
+    def __init__(self, on_error: Optional[Callable[[str], None]] = None):
+        self._buf = bytearray()
+        self._on_error = on_error
+        # decoded-but-unvalidated header state
+        self._body_coded_len: Optional[int] = None
+        self._payload_len = 0
+        self.frames_decoded = 0
+        self.headers_resynced = 0
+        self.bodies_dropped = 0
+
+    def reset(self) -> None:
+        self._buf.clear()
+        self._body_coded_len = None
+        self._payload_len = 0
+
+    def pending(self) -> int:
+        return len(self._buf)
+
+    def process(self, data: bytes) -> List[bytes]:
+        self._buf += bytes(data)
+        out: List[bytes] = []
+        while True:
+            if self._body_coded_len is None:
+                if len(self._buf) < HEADER_CODED:
+                    return out
+                header = fec.decode_bytes(bytes(self._buf[:HEADER_CODED]),
+                                          HEADER_PLAIN)
+                ln = (header[0] << 8) | header[1]
+                crc = (header[2] << 8) | header[3]
+                if CRC16.calculate(header[:2]) != crc:
+                    # not a frame start — slide one byte and resync
+                    # (the memo's boundary detection under junk)
+                    del self._buf[0]
+                    self.headers_resynced += 1
+                    continue
+                del self._buf[:HEADER_CODED]
+                self._payload_len = ln
+                self._body_coded_len = fec.coded_length(ln + 2)
+            if len(self._buf) < self._body_coded_len:
+                return out
+            body = fec.decode_bytes(bytes(self._buf[:self._body_coded_len]),
+                                    self._payload_len + 2)
+            del self._buf[:self._body_coded_len]
+            self._body_coded_len = None
+            payload = body[:self._payload_len]
+            crc = (body[self._payload_len] << 8) | body[self._payload_len + 1]
+            if CRC16.calculate(payload) != crc:
+                self.bodies_dropped += 1
+                if self._on_error is not None:
+                    self._on_error("frame body CRC failed after FEC")
+                continue
+            self.frames_decoded += 1
+            out.append(payload)
