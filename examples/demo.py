@@ -9,6 +9,7 @@ Usage:
   python examples/demo.py --message "hi there"
   python examples/demo.py --file path/to/payload.bin
   python examples/demo.py --noise 1e-4 --baud 300
+  python examples/demo.py --fec                   # convolutional FEC framing
 """
 
 import argparse
@@ -36,10 +37,21 @@ async def main() -> int:
     ap.add_argument("--noise", type=float, default=0.0,
                     help="AWGN noise power on the hub")
     ap.add_argument("--quantum", type=int, default=512)
+    ap.add_argument("--fec", action="store_true",
+                    help="wrap the payload in a convolutional FEC frame "
+                         "(rate-1/2 K=7 + Viterbi, docs/FEC.md)")
     args = ap.parse_args()
 
-    data = (open(args.file, "rb").read() if args.file
-            else args.message.encode())
+    payload = (open(args.file, "rb").read() if args.file
+               else args.message.encode())
+    if args.fec:
+        from webaudio_modem_tpu.transports.fec_frame import FrameEncoder
+
+        data = FrameEncoder.encode_frame(payload)
+        print(f"FEC framing: {len(payload)} B payload -> {len(data)} B "
+              f"coded frame")
+    else:
+        data = payload
     config = FSKConfig(baud_rate=args.baud)
 
     # system bring-up (demo.js initializeSystem, :210-266)
@@ -74,7 +86,14 @@ async def main() -> int:
         await drive
     wall = time.time() - t0
 
-    ok = received == data
+    if args.fec:
+        from webaudio_modem_tpu.transports.fec_frame import FrameDecoder
+
+        frames = FrameDecoder().process(received)
+        received = frames[0] if frames else b""
+        ok = received == payload
+    else:
+        ok = received == data
     audio_seconds = graph.steps * args.quantum / config.sample_rate
     print(f"result: {'OK' if ok else 'MISMATCH'} — {len(received)} bytes "
           f"in {wall:.2f}s wall ({audio_seconds:.1f}s simulated audio)")
