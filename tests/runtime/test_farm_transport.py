@@ -165,3 +165,15 @@ async def test_farm_sessions_are_independent():
     finally:
         hub.stop()
         await pump
+
+
+async def test_psk_farm_transport_sessions():
+    """The hub dispatches modulation through the model family: PSK
+    configs carry ARQ sessions too."""
+    from webaudio_modem_tpu.models.psk import PSKConfig
+
+    B = 4
+    payloads = [bytes([0x50 + i]) * 24 for i in range(B)]
+    results, hub, senders, _ = await _run_sessions(
+        B, payloads, config=PSKConfig())
+    assert results == payloads

@@ -174,3 +174,20 @@ class TestFecOverModem:
                 buf[i // 8] ^= 1 << (i % 8)
         assert bytes(raw) != payload           # raw stream is damaged
         assert FrameDecoder().process(bytes(frame)) == [payload]
+
+
+class TestSoftStreamSurface:
+    def test_soft_stream_matches_hard_bits(self):
+        # the memo's SoftDecisionDemodulator surface: softs' sign IS
+        # the hard bit stream
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKParams)
+        from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        sig = np.asarray(fsk_mod.modulate(params, b"soft!"))
+        bits, amps, softs = fsk_demod.soft_stream(params, sig)
+        assert bits.shape == softs.shape == amps.shape
+        derived = (params.polarity * softs > 0).astype(np.float32)
+        np.testing.assert_array_equal(derived, bits)
+        assert amps.min() >= 0

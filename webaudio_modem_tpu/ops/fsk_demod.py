@@ -847,6 +847,30 @@ def _quality_calibration(params: FSKParams, family: str = "fsk"):
     return mean_t, var_t, cal_ratio
 
 
+def soft_stream(params: FSKParams, samples, state: DemodState = None,
+                ds_phase: int = 0):
+    """Public soft-value surface — the reference FEC memo's
+    ``SoftDecisionDemodulator`` analog (advanced-error-correction.md:
+    a demodulator that returns soft values and leaves frame-boundary
+    detection to the layer above).
+
+    samples: [B, T] (or [T] for one channel).  Returns time-major
+    numpy arrays (bits [n_ds, B], amps [n_ds, B], softs [n_ds, B]):
+    ``softs`` is the analog post-LPF discriminator whose sign is the
+    hard bit; feed window sums of it to ops/fec.viterbi_decode_soft
+    for soft-decision FEC below the UART framing layer.
+    """
+    samples = jnp.asarray(samples, jnp.float32)
+    squeeze = samples.ndim == 1
+    if squeeze:
+        samples = samples[None]
+    if state is None:
+        state = init_state(params, batch=samples.shape[0])
+    _, _, _, _, bits, amps, softs = _sequential_stage(
+        params, ds_phase, state, samples)
+    return (np.asarray(bits), np.asarray(amps), np.asarray(softs))
+
+
 def quality_from_state(params: FSKParams, state, delay_ds: int = 1,
                        family: str = "fsk"):
     """Vectorized SignalQuality estimates from the carried accumulators.

@@ -30,7 +30,6 @@ import numpy as np
 from webaudio_modem_tpu.core import IDataChannel
 from webaudio_modem_tpu.models.farm import ModemFarm
 from webaudio_modem_tpu.native.deframer import Deframer, Frame
-from webaudio_modem_tpu.ops import fsk_mod
 from webaudio_modem_tpu.utils.abort import (AbortError, AbortSignal,
                                             race_abort)
 from webaudio_modem_tpu.utils.trace import metrics
@@ -192,8 +191,11 @@ class FarmLoopbackHub:
         return self._deframers[rx_side]
 
     def _modulate_signal(self, data: bytes) -> np.ndarray:
-        return np.asarray(fsk_mod.modulate(self._params, data),
-                          dtype=np.float32)
+        # dispatch through the farm's model family (FSK or PSK), not a
+        # hardcoded modulator
+        ops = self._farms["a"]._ops
+        sig = ops.modulate_batch(self._params, [data])
+        return np.asarray(sig, dtype=np.float32)[0]
 
     # -- the pump ----------------------------------------------------------
 
