@@ -102,6 +102,9 @@ async def test_farm_channel_modulate_resolves_on_playout():
             break
     assert done
     await task
+    # drain the pipelined last quantum (step() overlaps device compute
+    # with the previous quantum's host-side parsing)
+    hub.flush()
     # and the peer side decoded the control byte through the deframer
     frame = await asyncio.wait_for(hub.channel("b", 0).next_frame(), 1)
     assert frame.kind == "control" and frame.byte == 0x06

@@ -172,6 +172,10 @@ class FarmLoopbackHub:
             "a": [_TxSlot() for _ in range(batch)],
             "b": [_TxSlot() for _ in range(batch)]}
         self._channels: Dict[Tuple[str, int], FarmDataChannel] = {}
+        # host/device pipelining: the DemodOut of the chunk dispatched
+        # at step t is drained at step t+1, so the device computes
+        # chunk t+1 while the host parses t (SURVEY §2 PP analog)
+        self._pending: Dict[str, Optional[object]] = {"a": None, "b": None}
         self._running = False
         self.steps = 0
         self._params = self._farms["a"].params
@@ -209,8 +213,29 @@ class FarmLoopbackHub:
                 slot.fill(frame[b])
         return frame
 
+    def _drain(self, rx_side: str, out) -> None:
+        """Parse one DemodOut into per-channel byte/frame queues
+        through the native deframer (forces device->host transfer)."""
+        counts = np.asarray(out.byte_count)
+        if not counts.any():
+            return
+        vals = np.asarray(out.bytes_out)
+        deframer = self._deframers[rx_side]
+        for b in np.nonzero(counts)[0]:
+            piece = bytes(vals[b, :counts[b]])
+            deframer.push(int(b), piece)
+            frames = deframer.poll_all(int(b))
+            # auto-create the view so bytes decoded before anyone
+            # asked for the channel are not lost
+            self.channel(rx_side, int(b))._deliver(piece, frames)
+
     def step(self) -> None:
-        """One audio quantum for both directions."""
+        """One audio quantum for both directions.
+
+        Pipelined: dispatch this quantum's demod (async under jax) and
+        THEN drain the previous quantum's outputs, overlapping device
+        compute with host-side parsing.  Call ``flush()`` (or one extra
+        ``step()``) to force out the last quantum's bytes."""
         for tx_side, rx_side in (("a", "b"), ("b", "a")):
             frame = self._assemble(tx_side)
             if frame is None:
@@ -222,20 +247,19 @@ class FarmLoopbackHub:
                                    dtype=np.float32)
             farm = self._farms[rx_side]
             with metrics.timer("farm_hub.chunk"):
-                out = farm.demodulate_chunk(frame)
-                counts = np.asarray(out.byte_count)
-                vals = np.asarray(out.bytes_out)
-            if not counts.any():
-                continue
-            deframer = self._deframers[rx_side]
-            for b in np.nonzero(counts)[0]:
-                piece = bytes(vals[b, :counts[b]])
-                deframer.push(int(b), piece)
-                frames = deframer.poll_all(int(b))
-                # auto-create the view so bytes decoded before anyone
-                # asked for the channel are not lost
-                self.channel(rx_side, int(b))._deliver(piece, frames)
+                out = farm.demodulate_chunk(frame)     # async dispatch
+                prev, self._pending[rx_side] = \
+                    self._pending[rx_side], out
+                if prev is not None:
+                    self._drain(rx_side, prev)
         self.steps += 1
+
+    def flush(self) -> None:
+        """Drain any pipelined-but-unparsed demod outputs."""
+        for side in ("a", "b"):
+            out, self._pending[side] = self._pending[side], None
+            if out is not None:
+                self._drain(side, out)
 
     async def run(self, max_steps: Optional[int] = None,
                   idle_limit: Optional[int] = None) -> None:
@@ -258,6 +282,7 @@ class FarmLoopbackHub:
                 await asyncio.sleep(0)
         finally:
             self._running = False
+            self.flush()
 
     def stop(self) -> None:
         self._running = False
