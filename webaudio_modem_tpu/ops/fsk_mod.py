@@ -83,6 +83,20 @@ def modulate(params: FSKParams, data: bytes) -> np.ndarray:
     return np.asarray(modulate_batch(params, [data])[0])
 
 
+def modulate_bits(params: FSKParams, bits) -> np.ndarray:
+    """Modulate a raw bit sequence (no UART framing) -> float32 [T].
+
+    Same phase-continuous DDS and lead/trail layout as ``modulate``;
+    used by the soft-decision FEC path (ops/soft_fsk.py) where the
+    payload bits are convolutionally coded instead of UART-framed."""
+    bits = np.asarray(bits, dtype=np.int8)[None]
+    offsets, omega = _phase_tables(params, bits)
+    lead = params.samples_per_bit * 2
+    trail = params.bits_per_byte * params.samples_per_bit
+    return np.asarray(_synth(offsets, omega, params.samples_per_bit,
+                             (lead, trail))[0])
+
+
 def modulate_batch(params: FSKParams, messages: Sequence[bytes]):
     """Modulate a batch of equal-length messages -> [B, T] jax array."""
     lengths = {len(m) for m in messages}
