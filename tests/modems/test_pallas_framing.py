@@ -82,3 +82,42 @@ def test_framing_kernel_streaming_carry():
         got = np.concatenate([np.asarray(outs1[k]), np.asarray(outs2[k])],
                              0)
         np.testing.assert_array_equal(got, np.asarray(outs_whole[k]))
+
+
+@pytest.mark.parametrize("T", [2048, 4096])
+def test_compact_kernel_matches_lax_compaction(T):
+    """stage_d_compact (in-kernel byte compaction + event counters)
+    must reproduce the lax path's compacted outputs exactly."""
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = 128
+    state, bits, amps, ratios, means, gate = _intermediates(params, B, T)
+    n_ds = bits.shape[0]
+    from webaudio_modem_tpu.ops.fsk_demod import max_bytes
+    maxb = max_bytes(params, n_ds)
+
+    carry_ref, (byte_vals, emits, eods, fires) = fsk_demod._stage_d(
+        params, state, bits, amps, ratios, means, gate, unroll=2)
+    t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
+    fire_t_ref = np.asarray(
+        jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0))
+    positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
+    slot = jnp.where(emits, positions, jnp.int32(-1))
+    cols = [jnp.sum(jnp.where(slot == j, byte_vals.astype(jnp.int32), 0),
+                    axis=0) for j in range(maxb)]
+    bytes_ref = np.asarray(jnp.stack(cols, axis=1))
+    count_ref = np.asarray(emits.astype(jnp.int32).sum(0))
+    eod_ref = np.asarray(eods.astype(jnp.int32).sum(0))
+    fire_ref = np.asarray(fires.astype(jnp.int32).sum(0))
+
+    carry_p, (bytes_p, count_p, eod_p, fire_p, fire_t_p) = \
+        fsk_framing.stage_d_compact(params, state, bits, amps, ratios,
+                                    means, gate, maxb,
+                                    T_blk_groups=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bytes_p), bytes_ref)
+    np.testing.assert_array_equal(np.asarray(count_p), count_ref)
+    np.testing.assert_array_equal(np.asarray(eod_p), eod_ref)
+    np.testing.assert_array_equal(np.asarray(fire_p), fire_ref)
+    np.testing.assert_array_equal(np.asarray(fire_t_p), fire_t_ref)
+    for i, (a, b) in enumerate(zip(carry_p, carry_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"carry[{i}]")

@@ -682,8 +682,36 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
         jnp.int32(params.sync_window)
 
-    d_carry, (byte_vals, emits, eods, fires) = _stage_d(
-        params, state, bits, amps, ratios, means, gate_fill)
+    # Stage D + byte compaction.  On TPU with a lane-aligned batch the
+    # compact Pallas kernel does both inside VMEM and emits only
+    # [maxb+4, B] aggregates; otherwise the lax scan emits per-step
+    # planes compacted by masked sums (NOT a scatter — TPU serializes
+    # non-unique-index scatters, ~70 ms at B=4096).
+    use_compact = False
+    if not FORCE_LAX_SEQ:
+        from webaudio_modem_tpu.ops.pallas import fsk_framing
+
+        use_compact = fsk_framing.compact_available(B, maxb)
+    if use_compact:
+        d_carry, (bytes_i32, byte_count, eod_fired, sync_fired,
+                  fire_t) = fsk_framing.stage_d_compact(
+            params, state, bits, amps, ratios, means, gate_fill, maxb)
+        bytes_out = bytes_i32.astype(jnp.uint8)
+    else:
+        d_carry, (byte_vals, emits, eods, fires) = _stage_d(
+            params, state, bits, amps, ratios, means, gate_fill)
+        t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
+        fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
+        positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
+        vals_i32 = byte_vals.astype(jnp.int32)
+        slot = jnp.where(emits, positions, jnp.int32(-1))
+        cols = [jnp.sum(jnp.where(slot == j, vals_i32, 0), axis=0)
+                for j in range(maxb)]
+        bytes_out = jnp.stack(cols, axis=1).astype(jnp.uint8)
+        byte_count = emits.astype(jnp.int32).sum(0)
+        eod_fired = eods.astype(jnp.int32).sum(0)
+        sync_fired = fires.astype(jnp.int32).sum(0)
+
     (started_i, counter, sil, threshold, accum, count, bsc, next_idx,
      byte_cur, pos) = d_carry
     started = started_i > 0  # stage D carries it as int32 (Mosaic i1)
@@ -700,7 +728,6 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     # are skipped on the hot no-sync path.
     def _quality_update(_):
         t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
-        fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
         has_fire = fire_t >= 0
         # Anchor at the correlation PEAK near the fire: the state
         # machine fires at the FIRST quarter-bit threshold crossing, up
@@ -730,23 +757,9 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
 
     (last_sync_ratio, q_win_sum, q_win_sumsq,
      q_win_cnt) = jax.lax.cond(
-        jnp.any(fires), _quality_update,
+        jnp.any(fire_t >= 0), _quality_update,
         lambda _: (state.last_sync_ratio, state.q_win_sum,
                    state.q_win_sumsq, state.q_win_cnt), None)
-
-    # Compact time-major (value, valid) pairs into dense rows [B, maxb].
-    # NOT a scatter (TPU serializes non-unique-index scatters, ~70 ms at
-    # B=4096): each output slot j holds at most one emission per channel,
-    # so a masked sum per slot is exact — maxb cheap fused VPU passes.
-    positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
-    vals_i32 = byte_vals.astype(jnp.int32)
-    slot = jnp.where(emits, positions, jnp.int32(-1))
-    cols = [jnp.sum(jnp.where(slot == j, vals_i32, 0), axis=0)
-            for j in range(maxb)]
-    bytes_out = jnp.stack(cols, axis=1).astype(jnp.uint8)
-    byte_count = emits.astype(jnp.int32).sum(0)
-    eod_fired = eods.astype(jnp.int32).sum(0)
-    sync_fired = fires.astype(jnp.int32).sum(0)
 
     new_state = DemodState(
         agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,

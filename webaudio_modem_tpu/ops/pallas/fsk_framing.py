@@ -166,3 +166,153 @@ def available(B: int) -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # broken/unusable default backend — lax path
         return False
+
+
+# ---------------------------------------------------------------------------
+# Compact variant: byte compaction + event counters INSIDE the kernel
+# ---------------------------------------------------------------------------
+#
+# The packed per-step output plane is [n_ds, B] int32 (~39 MB at the
+# bench shape) and the host-side unpack + masked-sum compaction reads
+# it several more times.  But the information demod_chunk actually
+# needs is tiny per channel: up to maxb decoded bytes, three event
+# counters, and the last fire position.  This variant accumulates all
+# of that in VMEM scratch and emits ONLY [maxb + 4, B] int32 —
+# eliminating the whole packed stream and its consumers.
+
+MAX_SLOTS = 64  # in-kernel compaction bound (selects per step ~ maxb)
+
+
+def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
+                    bits_ref, amps_ref, ratios_ref, means_ref, gate_ref,
+                    sti_ref, stf_ref, out_ref, sti_out, stf_out,
+                    scr_i, scr_f, acc):
+    from webaudio_modem_tpu.ops.fsk_demod import _d_step
+
+    t_idx = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(t_idx == 0)
+    def _():
+        scr_i[...] = sti_ref[...]
+        scr_f[...] = stf_ref[...]
+        # acc layout: [0:maxb] byte slots, then cursor, eods, fires,
+        # last fire position (-1 = none)
+        acc[...] = jnp.zeros_like(acc)
+        acc[maxb + 3] = jnp.full_like(acc[maxb + 3], -1)
+
+    carry0 = unpack_carry(
+        tuple(scr_i[i] for i in range(N_I32)),
+        tuple(scr_f[i] for i in range(N_F32)))
+
+    count = jnp.minimum(gpb, n_ds - t_idx * gpb)
+    base = t_idx * gpb
+
+    def body(i, carry):
+        inp = (bits_ref[i], amps_ref[i], ratios_ref[i], means_ref[i],
+               gate_ref[i] > jnp.float32(0.5))
+        carry, (byte_i32, emit, eod, fire) = _d_step(params, carry, inp)
+        cursor = acc[maxb]
+        for j in range(maxb):
+            acc[j] = jnp.where(emit & (cursor == j), byte_i32 & 0xFF,
+                               acc[j])
+        acc[maxb] = cursor + emit.astype(jnp.int32)
+        acc[maxb + 1] = acc[maxb + 1] + eod.astype(jnp.int32)
+        acc[maxb + 2] = acc[maxb + 2] + fire.astype(jnp.int32)
+        acc[maxb + 3] = jnp.where(fire, base + i, acc[maxb + 3])
+        return carry
+
+    carry = jax.lax.fori_loop(0, count, body, carry0)
+
+    ints, flts = pack_carry(carry)
+    for i in range(N_I32):
+        scr_i[i] = ints[i]
+    for i in range(N_F32):
+        scr_f[i] = flts[i]
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        sti_out[...] = scr_i[...]
+        stf_out[...] = scr_f[...]
+        out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _stage_d_compact_call(params: FSKParams, n_ds: int, gpb: int,
+                          maxb: int, interpret: bool,
+                          ints, flts, bits, amps, ratios, means,
+                          gate_f32):
+    rows = bits.shape[-1] // LANES
+
+    def r3(a):
+        return a.reshape(a.shape[0], rows, LANES)
+
+    n_t = pl.cdiv(n_ds, gpb)
+    kernel = functools.partial(_kernel_compact, params, n_ds, gpb, maxb)
+    in_time_spec = pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+    state_i_spec = pl.BlockSpec((N_I32, rows, LANES), lambda t: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    state_f_spec = pl.BlockSpec((N_F32, rows, LANES), lambda t: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((maxb + 4, rows, LANES), lambda t: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out, ints_out, flts_out = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[in_time_spec] * 5 + [state_i_spec, state_f_spec],
+        out_specs=(acc_spec, state_i_spec, state_f_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((maxb + 4, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((N_I32, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((N_F32, rows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_I32, rows, LANES), jnp.int32),
+            pltpu.VMEM((N_F32, rows, LANES), jnp.float32),
+            pltpu.VMEM((maxb + 4, rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(r3(bits), r3(amps), r3(ratios), r3(means), r3(gate_f32),
+      ints.reshape(N_I32, rows, LANES),
+      flts.reshape(N_F32, rows, LANES))
+    B = bits.shape[-1]
+    return (out.reshape(maxb + 4, B),
+            ints_out.reshape(N_I32, B), flts_out.reshape(N_F32, B))
+
+
+def stage_d_compact(params: FSKParams, state, bits, amps, ratios, means,
+                    gate_fill, maxb: int, T_blk_groups: int = 0,
+                    interpret: bool = False):
+    """Pallas stage-D with IN-KERNEL byte compaction.
+
+    Returns (carry, (bytes_out [B, maxb] int32, byte_count [B],
+    eod_fired [B], sync_fired [B], fire_t [B] — last fire position or
+    -1)) — the exact aggregates demod_chunk needs, with no [n_ds, B]
+    output plane.
+    """
+    n_ds, B = bits.shape
+    carry_in = (state.started, state.counter, state.sil, state.threshold,
+                state.accum, state.count, state.bsc, state.next_idx,
+                state.byte_cur, state.pos)
+    ints, flts = pack_carry(carry_in)
+    if T_blk_groups == 0:
+        if B <= 4096:
+            T_blk_groups = 64
+        else:
+            T_blk_groups = max(24 * 8192 // B, 8)
+    gpb = min(T_blk_groups, n_ds)
+    out, ints_out, flts_out = _stage_d_compact_call(
+        params, n_ds, gpb, maxb, interpret, ints, flts,
+        bits, amps, ratios, means, gate_fill.astype(jnp.float32))
+    carry = unpack_carry(ints_out, flts_out)
+    bytes_out = out[:maxb].T           # [B, maxb]
+    byte_count = out[maxb]
+    eod_fired = out[maxb + 1]
+    sync_fired = out[maxb + 2]
+    fire_t = out[maxb + 3]
+    return carry, (bytes_out, byte_count, eod_fired, sync_fired, fire_t)
+
+
+def compact_available(B: int, maxb: int) -> bool:
+    return maxb <= MAX_SLOTS and available(B)
