@@ -111,7 +111,7 @@ def test_compact_kernel_matches_lax_compaction(T):
 
     carry_p, (bytes_p, count_p, eod_p, fire_p, fire_t_p) = \
         fsk_framing.stage_d_compact(params, state, bits, amps, ratios,
-                                    means, gate, maxb,
+                                    means, maxb,
                                     T_blk_groups=256, interpret=True)
     np.testing.assert_array_equal(np.asarray(bytes_p), bytes_ref)
     np.testing.assert_array_equal(np.asarray(count_p), count_ref)

@@ -678,9 +678,6 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
     ratios = _sync_ratios(params, ext_bits)
     means = _amp_means(params, state, ext_amps, n_ds)
-    t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
-    gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
-        jnp.int32(params.sync_window)
 
     # Stage D + byte compaction.  On TPU with a lane-aligned batch the
     # compact Pallas kernel does both inside VMEM and emits only
@@ -693,11 +690,15 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
 
         use_compact = fsk_framing.compact_available(B, maxb)
     if use_compact:
+        # the sync gate is derived in-kernel from bit_fill
         d_carry, (bytes_i32, byte_count, eod_fired, sync_fired,
                   fire_t) = fsk_framing.stage_d_compact(
-            params, state, bits, amps, ratios, means, gate_fill, maxb)
+            params, state, bits, amps, ratios, means, maxb)
         bytes_out = bytes_i32.astype(jnp.uint8)
     else:
+        t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
+        gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
+            jnp.int32(params.sync_window)
         d_carry, (byte_vals, emits, eods, fires) = _stage_d(
             params, state, bits, amps, ratios, means, gate_fill)
         t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]

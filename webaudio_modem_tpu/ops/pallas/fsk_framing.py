@@ -184,13 +184,14 @@ MAX_SLOTS = 64  # in-kernel compaction bound (selects per step ~ maxb)
 
 
 def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
-                    bits_ref, amps_ref, ratios_ref, means_ref, gate_ref,
-                    sti_ref, stf_ref, out_ref, sti_out, stf_out,
-                    scr_i, scr_f, acc):
+                    bits_ref, amps_ref, ratios_ref, means_ref,
+                    sti_ref, stf_ref, fill_ref, out_ref, sti_out,
+                    stf_out, scr_i, scr_f, acc):
     from webaudio_modem_tpu.ops.fsk_demod import _d_step
 
     t_idx = pl.program_id(0)
     n_t = pl.num_programs(0)
+    W = jnp.int32(params.sync_window)
 
     @pl.when(t_idx == 0)
     def _():
@@ -209,8 +210,12 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
     base = t_idx * gpb
 
     def body(i, carry):
+        # sync gate derived in-kernel: enough sliced bits seen since
+        # configure/reset to fill the pattern window (no [n_ds, B]
+        # gate input stream)
+        gate = (base + i + 1 + fill_ref[0]) >= W
         inp = (bits_ref[i], amps_ref[i], ratios_ref[i], means_ref[i],
-               gate_ref[i] > jnp.float32(0.5))
+               gate)
         carry, (byte_i32, emit, eod, fire) = _d_step(params, carry, inp)
         cursor = acc[maxb]
         for j in range(maxb):
@@ -241,7 +246,7 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
 def _stage_d_compact_call(params: FSKParams, n_ds: int, gpb: int,
                           maxb: int, interpret: bool,
                           ints, flts, bits, amps, ratios, means,
-                          gate_f32):
+                          bit_fill):
     rows = bits.shape[-1] // LANES
 
     def r3(a):
@@ -255,12 +260,15 @@ def _stage_d_compact_call(params: FSKParams, n_ds: int, gpb: int,
                                 memory_space=pltpu.VMEM)
     state_f_spec = pl.BlockSpec((N_F32, rows, LANES), lambda t: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
+    fill_spec = pl.BlockSpec((1, rows, LANES), lambda t: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((maxb + 4, rows, LANES), lambda t: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     out, ints_out, flts_out = pl.pallas_call(
         kernel,
         grid=(n_t,),
-        in_specs=[in_time_spec] * 5 + [state_i_spec, state_f_spec],
+        in_specs=[in_time_spec] * 4 + [state_i_spec, state_f_spec,
+                                       fill_spec],
         out_specs=(acc_spec, state_i_spec, state_f_spec),
         out_shape=(
             jax.ShapeDtypeStruct((maxb + 4, rows, LANES), jnp.int32),
@@ -273,16 +281,17 @@ def _stage_d_compact_call(params: FSKParams, n_ds: int, gpb: int,
             pltpu.VMEM((maxb + 4, rows, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(r3(bits), r3(amps), r3(ratios), r3(means), r3(gate_f32),
+    )(r3(bits), r3(amps), r3(ratios), r3(means),
       ints.reshape(N_I32, rows, LANES),
-      flts.reshape(N_F32, rows, LANES))
+      flts.reshape(N_F32, rows, LANES),
+      bit_fill.reshape(1, rows, LANES))
     B = bits.shape[-1]
     return (out.reshape(maxb + 4, B),
             ints_out.reshape(N_I32, B), flts_out.reshape(N_F32, B))
 
 
 def stage_d_compact(params: FSKParams, state, bits, amps, ratios, means,
-                    gate_fill, maxb: int, T_blk_groups: int = 0,
+                    maxb: int, T_blk_groups: int = 0,
                     interpret: bool = False):
     """Pallas stage-D with IN-KERNEL byte compaction.
 
@@ -304,7 +313,7 @@ def stage_d_compact(params: FSKParams, state, bits, amps, ratios, means,
     gpb = min(T_blk_groups, n_ds)
     out, ints_out, flts_out = _stage_d_compact_call(
         params, n_ds, gpb, maxb, interpret, ints, flts,
-        bits, amps, ratios, means, gate_fill.astype(jnp.float32))
+        bits, amps, ratios, means, state.bit_fill)
     carry = unpack_carry(ints_out, flts_out)
     bytes_out = out[:maxb].T           # [B, maxb]
     byte_count = out[maxb]
