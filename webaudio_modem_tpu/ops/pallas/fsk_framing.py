@@ -205,35 +205,68 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
     carry0 = unpack_carry(
         tuple(scr_i[i] for i in range(N_I32)),
         tuple(scr_f[i] for i in range(N_F32)))
+    acc0 = tuple(acc[j] for j in range(maxb + 4))
 
     count = jnp.minimum(gpb, n_ds - t_idx * gpb)
     base = t_idx * gpb
+    fill = fill_ref[0]
 
-    def body(i, carry):
-        # sync gate derived in-kernel: enough sliced bits seen since
-        # configure/reset to fill the pattern window (no [n_ds, B]
-        # gate input stream)
-        gate = (base + i + 1 + fill_ref[0]) >= W
-        inp = (bits_ref[i], amps_ref[i], ratios_ref[i], means_ref[i],
-               gate)
-        carry, (byte_i32, emit, eod, fire) = _d_step(params, carry, inp)
-        cursor = acc[maxb]
+    # Accumulators ride the fori carry (registers), not scratch — the
+    # slot updates would otherwise cost 2*maxb VMEM touches per step.
+    # UNROLL amortizes the dynamic-index stream loads over slabs, same
+    # trick as the sequential kernel.
+    UNROLL = 4
+
+    def one_step(i, carry, accs, inp4):
+        bits_t, amps_t, ratios_t, means_t = inp4
+        gate = (base + i + 1 + fill) >= W
+        carry, (byte_i32, emit, eod, fire) = _d_step(
+            params, carry, (bits_t, amps_t, ratios_t, means_t, gate))
+        slots = list(accs[:maxb])
+        cursor = accs[maxb]
         for j in range(maxb):
-            acc[j] = jnp.where(emit & (cursor == j), byte_i32 & 0xFF,
-                               acc[j])
-        acc[maxb] = cursor + emit.astype(jnp.int32)
-        acc[maxb + 1] = acc[maxb + 1] + eod.astype(jnp.int32)
-        acc[maxb + 2] = acc[maxb + 2] + fire.astype(jnp.int32)
-        acc[maxb + 3] = jnp.where(fire, base + i, acc[maxb + 3])
-        return carry
+            slots[j] = jnp.where(emit & (cursor == j), byte_i32 & 0xFF,
+                                 slots[j])
+        accs = (*slots,
+                cursor + emit.astype(jnp.int32),
+                accs[maxb + 1] + eod.astype(jnp.int32),
+                accs[maxb + 2] + fire.astype(jnp.int32),
+                jnp.where(fire, base + i, accs[maxb + 3]))
+        return carry, accs
 
-    carry = jax.lax.fori_loop(0, count, body, carry0)
+    n_main = count // UNROLL
+
+    def body_u(k, state):
+        carry, accs = state
+        i0 = k * UNROLL
+        slab_b = bits_ref[pl.ds(i0, UNROLL)]
+        slab_a = amps_ref[pl.ds(i0, UNROLL)]
+        slab_r = ratios_ref[pl.ds(i0, UNROLL)]
+        slab_m = means_ref[pl.ds(i0, UNROLL)]
+        for u in range(UNROLL):
+            carry, accs = one_step(
+                i0 + u, carry, accs,
+                (slab_b[u], slab_a[u], slab_r[u], slab_m[u]))
+        return carry, accs
+
+    carry, accs = jax.lax.fori_loop(0, n_main, body_u, (carry0, acc0))
+
+    def body_tail(i, state):
+        carry, accs = state
+        return one_step(i, carry, accs,
+                        (bits_ref[i], amps_ref[i], ratios_ref[i],
+                         means_ref[i]))
+
+    carry, accs = jax.lax.fori_loop(n_main * UNROLL, count, body_tail,
+                                    (carry, accs))
 
     ints, flts = pack_carry(carry)
     for i in range(N_I32):
         scr_i[i] = ints[i]
     for i in range(N_F32):
         scr_f[i] = flts[i]
+    for j in range(maxb + 4):
+        acc[j] = accs[j]
 
     @pl.when(t_idx == n_t - 1)
     def _():
