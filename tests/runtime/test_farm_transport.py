@@ -110,6 +110,23 @@ async def test_farm_channel_modulate_resolves_on_playout():
     assert frame.kind == "control" and frame.byte == 0x06
 
 
+async def test_aborted_modulate_stops_playout():
+    # an aborted transmission must not keep feeding the wire
+    from webaudio_modem_tpu.utils.abort import AbortController, AbortError
+
+    hub = FarmLoopbackHub(DEFAULT_FSK_CONFIG, 2, quantum=512)
+    ch = hub.channel("a", 0)
+    ctrl = AbortController()
+    task = asyncio.ensure_future(ch.modulate(b"X" * 40,
+                                             signal=ctrl.signal))
+    await asyncio.sleep(0)
+    hub.step()          # starts playing
+    ctrl.abort()
+    with pytest.raises(AbortError):
+        await task
+    assert not hub._tx("a", 0).pending()  # remainder dropped
+
+
 async def test_farm_channel_reset_clears_pending():
     from webaudio_modem_tpu.utils.abort import AbortError
 

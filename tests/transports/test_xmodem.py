@@ -120,6 +120,19 @@ class TestQueueDataChannel:
         await channel.reset()
         assert await channel.demodulate() == b"\x01"
 
+    async def test_external_cancellation_propagates(self, channel):
+        # asyncio.wait_for/task.cancel must NOT be swallowed into
+        # AbortError — only reset()-induced drops are translated
+        waiter = asyncio.ensure_future(channel.demodulate())
+        await asyncio.sleep(0)
+        waiter.cancel()
+        with pytest.raises(asyncio.CancelledError):
+            await waiter
+
+    async def test_wait_for_timeout_is_timeout(self, channel):
+        with pytest.raises(asyncio.TimeoutError):
+            await asyncio.wait_for(channel.demodulate(), timeout=0.05)
+
 
 # -- send path ---------------------------------------------------------------
 

@@ -196,8 +196,8 @@ class ModemFarm:
         cnt = active.sum(0)
         asum = np.where(active, amps, 0.0).sum(0)
         mean = asum / np.maximum(cnt, 1)
-        var = (np.where(active, amps * amps, 0.0).sum(0)
-               / np.maximum(cnt, 1)) - mean * mean
+        var = np.maximum((np.where(active, amps * amps, 0.0).sum(0)
+                          / np.maximum(cnt, 1)) - mean * mean, 0.0)
         have = cnt >= 8
         with np.errstate(divide="ignore", invalid="ignore"):
             snr = np.where(have,

@@ -164,6 +164,25 @@ def viterbi_decode_bits(coded_bits, n_bits: int) -> np.ndarray:
     return viterbi_decode_soft(hard, n_bits)
 
 
+# -- shared frame format (used by transports/fec_frame AND ops/soft_fsk) -----
+
+FRAME_HEADER_PLAIN = 4                 # LEN(2, big-endian) + CRC16(LEN)
+
+
+def build_frame_header(payload_len: int) -> bytes:
+    from webaudio_modem_tpu.utils.crc16 import CRC16
+
+    header = bytes([payload_len >> 8, payload_len & 0xFF])
+    return header + CRC16.calculate(header).to_bytes(2, "big")
+
+
+def build_frame_body(payload: bytes) -> bytes:
+    from webaudio_modem_tpu.utils.crc16 import CRC16
+
+    payload = bytes(payload)
+    return payload + CRC16.calculate(payload).to_bytes(2, "big")
+
+
 # -- byte-level helpers (the framing layer works in bytes) -------------------
 
 def bits_to_bytes(bits: np.ndarray) -> bytes:

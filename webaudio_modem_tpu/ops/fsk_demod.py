@@ -464,16 +464,17 @@ def _sync_ratios(params: FSKParams, ext_bits):
         jnp.concatenate([jnp.zeros_like(ext_bits[:1]), ext_bits], 0),
         axis=0)
     # R(i) = sum of the ds bits ending at ext index i.  Materialize it
-    # ONCE as bf16 — values are integers in [0, ds] (ds < 256), exact in
-    # bf16 — so the n_pat shifted accumulations below read half the
-    # bytes they would reading f32 cumsum slices (the sync correlation
-    # is HBM-bound: ~n_pat full passes over a [n_ds, B] plane).
+    # ONCE, as bf16 when exact: block sums are integers in [0, ds] and
+    # bf16 represents integers <= 256 exactly, halving the bytes the
+    # n_pat shifted accumulations below read.  Configs with
+    # ds_samples_per_bit > 256 (e.g. <94 baud at 48 kHz) stay f32.
     # Needed index range: i = W + t - j*ds, t in [0, n_ds), j in
     # [1, n_pat) -> [ds, W - ds + n_ds).
     base = ds  # smallest needed index
     hi = W - ds + n_ds
+    r_dtype = jnp.bfloat16 if ds <= 256 else jnp.float32
     r16 = (csum[base + 1:hi + 1] - csum[base + 1 - ds:hi + 1 - ds]
-           ).astype(jnp.bfloat16)
+           ).astype(r_dtype)
     matched = jnp.zeros_like(ext_bits[:n_ds])
     n_zero_blocks = sum(1 for j in range(1, n_pat)
                         if params.pattern_bits[n_pat - j] == 0)
@@ -645,6 +646,58 @@ def _stage_d(params: FSKParams, state: DemodState,
     return carry, merged
 
 
+def quality_window_update(params: FSKParams, state, ratios, softs,
+                          fire_t):
+    """SignalQuality accumulator refresh shared by the FSK and PSK
+    chunk steps — parallel masked reductions over the chunk, refreshed
+    at the LAST sync fire: the ``sync_window`` samples preceding a fire
+    carry the KNOWN preamble+SFD pattern, so (a) the match ratio there
+    is a measured raw bit-error rate and (b) the window's discriminator
+    mean/variance vs a clean per-config calibration yield carrier
+    offset and phase jitter (quality_from_state).  Gated on any fire in
+    the chunk (lax.cond): syncs are rare (once per frame), so the ~8
+    extra [n_ds, B] passes are skipped on the hot no-sync path.
+
+    Returns (last_sync_ratio, q_win_sum, q_win_sumsq, q_win_cnt).
+    """
+    n_ds = softs.shape[0]
+
+    def _update(_):
+        t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
+        has_fire = fire_t >= 0
+        # Anchor at the correlation PEAK near the fire: the state
+        # machine fires at the FIRST quarter-bit threshold crossing, up
+        # to ~a bit period before perfect pattern alignment; the peak
+        # is the aligned position, making the stats comparable to the
+        # clean calibration.
+        dsb = jnp.int32(params.ds_samples_per_bit)
+        near = (t_idx >= fire_t[None, :] - dsb) & \
+            (t_idx <= fire_t[None, :] + dsb)
+        rnear = jnp.where(near, ratios, jnp.float32(-1.0))
+        peak_ratio = jnp.max(rnear, axis=0)
+        t_peak = jnp.max(
+            jnp.where(near & (ratios >= peak_ratio[None, :]), t_idx,
+                      jnp.int32(-1)), axis=0)
+        lsr = jnp.where(has_fire, peak_ratio, state.last_sync_ratio)
+        W = jnp.int32(params.sync_window)
+        in_win = (t_idx <= t_peak[None, :]) & \
+            (t_idx > t_peak[None, :] - W)
+        zero = jnp.zeros_like(softs)
+        win_sum = jnp.where(in_win, softs, zero).sum(0)
+        win_sumsq = jnp.where(in_win, softs * softs, zero).sum(0)
+        win_cnt = in_win.astype(jnp.float32).sum(0)
+        return (lsr,
+                jnp.where(has_fire, win_sum, state.q_win_sum),
+                jnp.where(has_fire, win_sumsq, state.q_win_sumsq),
+                jnp.where(has_fire, win_cnt, state.q_win_cnt))
+
+    return jax.lax.cond(
+        jnp.any(fire_t >= 0), _update,
+        lambda _: (state.last_sync_ratio, state.q_win_sum,
+                   state.q_win_sumsq, state.q_win_cnt), None)
+
+
+
 # ---------------------------------------------------------------------------
 # Full chunk step
 # ---------------------------------------------------------------------------
@@ -717,50 +770,9 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
      byte_cur, pos) = d_carry
     started = started_i > 0  # stage D carries it as int32 (Mosaic i1)
 
-    # SignalQuality accumulators — parallel masked reductions over the
-    # chunk, refreshed at the LAST sync fire: the ``sync_window``
-    # samples preceding a fire carry the KNOWN preamble+SFD pattern, so
-    # (a) the match ratio there is a measured raw bit-error rate and
-    # (b) the window's discriminator mean/variance vs a clean per-config
-    # calibration yield carrier offset and phase jitter
-    # (quality_from_state).
-    # Gated on any fire in the chunk (lax.cond): syncs are rare (once
-    # per frame), so the ~8 extra [n_ds, B] passes for the window stats
-    # are skipped on the hot no-sync path.
-    def _quality_update(_):
-        t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
-        has_fire = fire_t >= 0
-        # Anchor at the correlation PEAK near the fire: the state
-        # machine fires at the FIRST quarter-bit threshold crossing, up
-        # to ~a bit period before perfect pattern alignment; the peak
-        # is the aligned position, making the stats comparable to the
-        # clean calibration.
-        dsb = jnp.int32(params.ds_samples_per_bit)
-        near = (t_idx >= fire_t[None, :] - dsb) & \
-            (t_idx <= fire_t[None, :] + dsb)
-        rnear = jnp.where(near, ratios, jnp.float32(-1.0))
-        peak_ratio = jnp.max(rnear, axis=0)
-        t_peak = jnp.max(
-            jnp.where(near & (ratios >= peak_ratio[None, :]), t_idx,
-                      jnp.int32(-1)), axis=0)
-        lsr = jnp.where(has_fire, peak_ratio, state.last_sync_ratio)
-        W = jnp.int32(params.sync_window)
-        in_win = (t_idx <= t_peak[None, :]) & \
-            (t_idx > t_peak[None, :] - W)
-        zero = jnp.zeros_like(softs)
-        win_sum = jnp.where(in_win, softs, zero).sum(0)
-        win_sumsq = jnp.where(in_win, softs * softs, zero).sum(0)
-        win_cnt = in_win.astype(jnp.float32).sum(0)
-        return (lsr,
-                jnp.where(has_fire, win_sum, state.q_win_sum),
-                jnp.where(has_fire, win_sumsq, state.q_win_sumsq),
-                jnp.where(has_fire, win_cnt, state.q_win_cnt))
-
     (last_sync_ratio, q_win_sum, q_win_sumsq,
-     q_win_cnt) = jax.lax.cond(
-        jnp.any(fire_t >= 0), _quality_update,
-        lambda _: (state.last_sync_ratio, state.q_win_sum,
-                   state.q_win_sumsq, state.q_win_cnt), None)
+     q_win_cnt) = quality_window_update(params, state, ratios, softs,
+                                        fire_t)
 
     new_state = DemodState(
         agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,

@@ -310,45 +310,12 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
     (started_i, counter, sil, threshold, accum, count, bsc, next_idx,
      byte_cur, pos) = d_carry
 
-    # SignalQuality accumulators (same scheme as fsk_demod.demod_chunk)
-    # Gated on any fire in the chunk (lax.cond): syncs are rare (once
-    # per frame), so the ~8 extra [n_ds, B] passes for the window stats
-    # are skipped on the hot no-sync path.
-    def _quality_update(_):
-        t_idx = jnp.arange(bits.shape[0], dtype=jnp.int32)[:, None]
-        fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
-        has_fire = fire_t >= 0
-        # Anchor at the correlation PEAK near the fire: the state
-        # machine fires at the FIRST quarter-bit threshold crossing, up
-        # to ~a bit period before perfect pattern alignment; the peak
-        # is the aligned position, making the stats comparable to the
-        # clean calibration.
-        dsb = jnp.int32(params.ds_samples_per_bit)
-        near = (t_idx >= fire_t[None, :] - dsb) & \
-            (t_idx <= fire_t[None, :] + dsb)
-        rnear = jnp.where(near, ratios, jnp.float32(-1.0))
-        peak_ratio = jnp.max(rnear, axis=0)
-        t_peak = jnp.max(
-            jnp.where(near & (ratios >= peak_ratio[None, :]), t_idx,
-                      jnp.int32(-1)), axis=0)
-        lsr = jnp.where(has_fire, peak_ratio, state.last_sync_ratio)
-        W = jnp.int32(params.sync_window)
-        in_win = (t_idx <= t_peak[None, :]) & \
-            (t_idx > t_peak[None, :] - W)
-        zero = jnp.zeros_like(softs)
-        win_sum = jnp.where(in_win, softs, zero).sum(0)
-        win_sumsq = jnp.where(in_win, softs * softs, zero).sum(0)
-        win_cnt = in_win.astype(jnp.float32).sum(0)
-        return (lsr,
-                jnp.where(has_fire, win_sum, state.q_win_sum),
-                jnp.where(has_fire, win_sumsq, state.q_win_sumsq),
-                jnp.where(has_fire, win_cnt, state.q_win_cnt))
-
+    # SignalQuality accumulators — shared helper with the FSK family
+    t_idx = jnp.arange(bits.shape[0], dtype=jnp.int32)[:, None]
+    fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
     (last_sync_ratio, q_win_sum, q_win_sumsq,
-     q_win_cnt) = jax.lax.cond(
-        jnp.any(fires), _quality_update,
-        lambda _: (state.last_sync_ratio, state.q_win_sum,
-                   state.q_win_sumsq, state.q_win_cnt), None)
+     q_win_cnt) = _fd.quality_window_update(params, state, ratios,
+                                            softs, fire_t)
 
     positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
     vals_i32 = byte_vals.astype(jnp.int32)

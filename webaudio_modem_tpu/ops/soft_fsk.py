@@ -40,7 +40,7 @@ from webaudio_modem_tpu.models.config import FSKParams
 from webaudio_modem_tpu.ops import fec, fsk_demod, fsk_mod
 from webaudio_modem_tpu.utils.crc16 import CRC16
 
-HEADER_PLAIN = 4                       # LEN(2) + CRC16(LEN)
+HEADER_PLAIN = fec.FRAME_HEADER_PLAIN  # LEN(2) + CRC16(LEN)
 HEADER_CODED_BITS = 2 * (8 * HEADER_PLAIN + fec.K - 1)
 
 
@@ -51,13 +51,11 @@ def _body_coded_bits(payload_len: int) -> int:
 def encode_frame_signal(params: FSKParams, payload: bytes) -> np.ndarray:
     """payload -> FSK signal carrying a coded frame (float32 [T])."""
     payload = bytes(payload)
-    ln = len(payload)
-    header = bytes([ln >> 8, ln & 0xFF])
-    header += CRC16.calculate(header).to_bytes(2, "big")
-    body = payload + CRC16.calculate(payload).to_bytes(2, "big")
     coded = np.concatenate([
-        fec.conv_encode_bits(fec.bytes_to_bits(header)),
-        fec.conv_encode_bits(fec.bytes_to_bits(body))])
+        fec.conv_encode_bits(fec.bytes_to_bits(
+            fec.build_frame_header(len(payload)))),
+        fec.conv_encode_bits(fec.bytes_to_bits(
+            fec.build_frame_body(payload)))])
     bits = np.concatenate([np.asarray(params.pattern_bits, np.int8),
                            coded.astype(np.int8)])
     return fsk_mod.modulate_bits(params, bits)

@@ -32,6 +32,7 @@ class QueueDataChannel(IDataChannel):
         self.sent_data: List[bytes] = []
         self._rx_queue: asyncio.Queue = asyncio.Queue()
         self._pending_gets: List[asyncio.Future] = []
+        self._reset_gen = 0
         self.closed = False
         self.peer: Optional["QueueDataChannel"] = None
         self.echo = False  # deliver own TX back to self (loopback hub)
@@ -57,12 +58,15 @@ class QueueDataChannel(IDataChannel):
             signal.throw_if_aborted()
         get_task = asyncio.ensure_future(self._rx_queue.get())
         self._pending_gets.append(get_task)
+        gen = self._reset_gen
         try:
             data = await race_abort(get_task, signal)
         except asyncio.CancelledError:
-            # a reset() dropped this waiter (the reference mock discards
-            # its resolvers, xmodem.node.test.ts:143-151)
-            raise AbortError("DataChannel reset")
+            if self._reset_gen != gen:
+                # a reset() dropped this waiter (the reference mock
+                # discards its resolvers, xmodem.node.test.ts:143-151)
+                raise AbortError("DataChannel reset")
+            raise  # genuine external cancellation must propagate
         finally:
             if get_task in self._pending_gets:
                 self._pending_gets.remove(get_task)
@@ -75,6 +79,7 @@ class QueueDataChannel(IDataChannel):
         # sent/queued data for inspection; drop pending demodulate
         # waiters (their awaits raise AbortError)
         self.closed = False
+        self._reset_gen += 1
         pending, self._pending_gets = self._pending_gets, []
         for t in pending:
             if not t.done():

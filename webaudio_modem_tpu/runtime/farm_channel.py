@@ -89,6 +89,10 @@ class FarmDataChannel(IDataChannel):
         self.index = index
         self._bytes_q: asyncio.Queue = asyncio.Queue()
         self._frames_q: asyncio.Queue = asyncio.Queue()
+        # which surface the consumer uses (a transport picks one);
+        # the unused queue stops filling so long runs don't leak
+        self._byte_consumer = False
+        self._frame_consumer = False
 
     # -- IDataChannel ---------------------------------------------------
 
@@ -102,11 +106,21 @@ class FarmDataChannel(IDataChannel):
         sig = self._hub._modulate_signal(data)
         loop = asyncio.get_running_loop()
         fut = loop.create_future()
-        self._hub._tx(self.side, self.index).queue.append([sig, 0, fut])
-        await race_abort(fut, signal)
+        entry = [sig, 0, fut]
+        slot = self._hub._tx(self.side, self.index)
+        slot.queue.append(entry)
+        try:
+            await race_abort(fut, signal)
+        except BaseException:
+            # halt playout of the aborted transmission — the remainder
+            # must not keep feeding the wire (FSKProcessor abort parity)
+            if entry in slot.queue:
+                slot.queue.remove(entry)
+            raise
 
     async def demodulate(self,
                          signal: Optional[AbortSignal] = None) -> bytes:
+        self._byte_consumer = True
         data = await race_abort(self._bytes_q.get(), signal)
         if isinstance(data, Exception):
             raise data
@@ -114,6 +128,7 @@ class FarmDataChannel(IDataChannel):
 
     async def next_frame(self,
                          signal: Optional[AbortSignal] = None) -> Frame:
+        self._frame_consumer = True
         item = await race_abort(self._frames_q.get(), signal)
         if isinstance(item, Exception):
             raise item
@@ -141,10 +156,22 @@ class FarmDataChannel(IDataChannel):
     # -- hub delivery ----------------------------------------------------
 
     def _deliver(self, piece: bytes, frames: List[Frame]) -> None:
-        if piece:
+        # fill both surfaces until the consumer picks one, then stop
+        # filling (and drop) the unused queue — otherwise a long-running
+        # hub leaks one queue per channel forever
+        frame_only = self._frame_consumer and not self._byte_consumer
+        byte_only = self._byte_consumer and not self._frame_consumer
+        if piece and not frame_only:
             self._bytes_q.put_nowait(piece)
-        for f in frames:
-            self._frames_q.put_nowait(f)
+        elif frame_only:
+            while not self._bytes_q.empty():
+                self._bytes_q.get_nowait()
+        if not byte_only:
+            for f in frames:
+                self._frames_q.put_nowait(f)
+        elif byte_only:
+            while not self._frames_q.empty():
+                self._frames_q.get_nowait()
 
 
 class FarmLoopbackHub:

@@ -47,7 +47,8 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
         self._modulation_done: Optional[asyncio.Future] = None
         self._awaiting_data: Optional[asyncio.Future] = None
         self.process_call_count = 0
-        self._rx_guard = 0  # post-TX self-reception guard (see modulate)
+        self._rx_guard = 0        # post-TX self-RX guard, in SAMPLES
+        self._last_quantum = 128  # most recent output quantum size
 
     # -- configuration ------------------------------------------------------
 
@@ -93,11 +94,15 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
         # own signal is still in flight (one feedback quantum + filter
         # group delay) and decodes AFTER this point — if the final CRC
         # byte of our own packet happens to be 0x15/0x06/0x04 the
-        # transport would misread it as NAK/ACK/EOT.  Guard the next two
-        # input quanta; the peer cannot answer that fast (it must first
-        # finish demodulating our tail and synthesize its reply).
+        # transport would misread it as NAK/ACK/EOT.  Guard in SAMPLES
+        # (one feedback quantum + two bit-times of filter delay); the
+        # peer cannot answer within that window — it must first finish
+        # demodulating our tail and synthesize its reply.
         self.demodulated_buffer.clear()
-        self._rx_guard = 2
+        margin = 128
+        if self.fsk_core.params is not None:
+            margin = max(margin, 2 * self.fsk_core.params.samples_per_bit)
+        self._rx_guard = self._last_quantum + margin
 
     async def demodulate(self,
                          signal: Optional[AbortSignal] = None) -> bytes:
@@ -153,16 +158,27 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
     def _demodulate_from(self, samples: np.ndarray) -> None:
         if not self.fsk_core.is_ready():
             return
+        if self._rx_guard > 0:
+            # process the guarded span separately (state still advances)
+            # and drop its bytes; the rest of this quantum is live, so a
+            # fast peer reply landing late in the same input survives
+            g = min(self._rx_guard, len(samples))
+            self._rx_guard -= g
+            try:
+                dropped = self.fsk_core.demodulate_data(samples[:g])
+            except Exception:  # pragma: no cover
+                logger.exception("[%s] demodulation error", self.name)
+                return
+            if dropped:
+                logger.debug("[%s] %d self-RX tail byte(s) suppressed",
+                             self.name, len(dropped))
+            if g == len(samples):
+                return
+            samples = samples[g:]
         try:
             demodulated = self.fsk_core.demodulate_data(samples)
         except Exception:  # pragma: no cover
             logger.exception("[%s] demodulation error", self.name)
-            return
-        if self._rx_guard > 0:
-            self._rx_guard -= 1
-            if demodulated:
-                logger.debug("[%s] %d self-RX tail byte(s) suppressed",
-                             self.name, len(demodulated))
             return
         if demodulated:
             self.demodulated_buffer.write_array(
@@ -174,6 +190,7 @@ class FSKProcessor(IAudioProcessor, IDataChannel):
 
     def _modulate_to(self, outputs: np.ndarray) -> None:
         outputs[:] = 0.0
+        self._last_quantum = len(outputs)
         if self._pending_modulation is None:
             return
         result = self._pending_modulation.get_next_samples(len(outputs))

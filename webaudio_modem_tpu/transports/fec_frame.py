@@ -34,7 +34,7 @@ from typing import Callable, List, Optional
 from webaudio_modem_tpu.ops import fec
 from webaudio_modem_tpu.utils.crc16 import CRC16
 
-HEADER_PLAIN = 4                       # LEN(2) + CRC16(LEN)
+HEADER_PLAIN = fec.FRAME_HEADER_PLAIN  # LEN(2) + CRC16(LEN)
 HEADER_CODED = fec.coded_length(HEADER_PLAIN)
 MAX_PAYLOAD = 65535
 
@@ -47,11 +47,8 @@ class FrameEncoder:
         payload = bytes(payload)
         if len(payload) > MAX_PAYLOAD:
             raise ValueError("payload too large for a single frame")
-        ln = len(payload)
-        header = bytes([ln >> 8, ln & 0xFF])
-        header += CRC16.calculate(header).to_bytes(2, "big")
-        body = payload + CRC16.calculate(payload).to_bytes(2, "big")
-        return fec.encode_bytes(header) + fec.encode_bytes(body)
+        return (fec.encode_bytes(fec.build_frame_header(len(payload)))
+                + fec.encode_bytes(fec.build_frame_body(payload)))
 
     @staticmethod
     def coded_frame_length(payload_len: int) -> int:

@@ -55,7 +55,9 @@ class Metrics:
         self._lock = threading.Lock()
         self._counters: Dict[str, float] = defaultdict(float)
         self._gauges: Dict[str, float] = {}
-        self._timings: Dict[str, list] = defaultdict(list)
+        # name -> [count, total_s, min_s, max_s] (bounded — a long-
+        # running farm hub times two chunks per audio quantum forever)
+        self._timings: Dict[str, list] = {}
 
     def incr(self, name: str, value: float = 1.0) -> None:
         with self._lock:
@@ -71,15 +73,24 @@ class Metrics:
         try:
             yield
         finally:
+            dt = time.perf_counter() - start
             with self._lock:
-                self._timings[name].append(time.perf_counter() - start)
+                agg = self._timings.get(name)
+                if agg is None:
+                    self._timings[name] = [1, dt, dt, dt]
+                else:
+                    agg[0] += 1
+                    agg[1] += dt
+                    agg[2] = min(agg[2], dt)
+                    agg[3] = max(agg[3], dt)
 
     def snapshot(self) -> dict:
         with self._lock:
             timings = {
-                k: {"count": len(v), "total_s": sum(v),
-                    "mean_ms": 1000 * sum(v) / len(v)}
-                for k, v in self._timings.items() if v}
+                k: {"count": v[0], "total_s": v[1],
+                    "mean_ms": 1000 * v[1] / v[0],
+                    "min_ms": 1000 * v[2], "max_ms": 1000 * v[3]}
+                for k, v in self._timings.items()}
             return {"counters": dict(self._counters),
                     "gauges": dict(self._gauges),
                     "timings": timings}
