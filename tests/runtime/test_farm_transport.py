@@ -197,3 +197,29 @@ async def test_psk_farm_transport_sessions():
     results, hub, senders, _ = await _run_sessions(
         B, payloads, config=PSKConfig())
     assert results == payloads
+
+
+async def test_sequential_rounds_queues_stay_bounded():
+    """Multi-round soak: after each completed transfer round the
+    per-channel queues must be drained — the surface the consumer
+    doesn't use stops filling (long-run leak regression)."""
+    B = 2
+    hub = FarmLoopbackHub(DEFAULT_FSK_CONFIG, B)
+    pump = asyncio.ensure_future(hub.run())
+    txs = [XModemTransport(hub.channel("a", i)) for i in range(B)]
+    rxs = [XModemTransport(hub.channel("b", i)) for i in range(B)]
+    for t in txs + rxs:
+        t.configure({"timeout_ms": 60000})
+    try:
+        for rnd in range(3):
+            recvs = [asyncio.ensure_future(r.receive_data()) for r in rxs]
+            await asyncio.gather(*(t.send_data(bytes([rnd]) * 20)
+                                   for t in txs))
+            assert await asyncio.gather(*recvs) == [bytes([rnd]) * 20] * B
+        for i in range(B):
+            assert hub.channel("b", i)._bytes_q.qsize() == 0
+            assert hub.channel("b", i)._frames_q.qsize() == 0
+            assert hub.channel("a", i)._bytes_q.qsize() == 0
+    finally:
+        hub.stop()
+        await pump
