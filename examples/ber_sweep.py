@@ -4,6 +4,8 @@ AWGN, device demodulator vs the golden bit-exact comparator on
 identical noise.
 
   python examples/ber_sweep.py --snrs 30 25 20 15 10 5 --messages 64
+  python examples/ber_sweep.py --soft --snrs 10 8 6 4 2 0   # frame-success:
+      hard UART modem vs the soft-decision FSK+FEC physical path
 """
 
 import argparse
@@ -30,7 +32,14 @@ def main():
     ap.add_argument("--baud", type=int, default=1200)
     ap.add_argument("--mark", type=float, default=1200.0)
     ap.add_argument("--space", type=float, default=2200.0)
+    ap.add_argument("--soft", action="store_true",
+                    help="frame-success sweep: hard UART modem vs the "
+                         "soft FSK+FEC physical path (docs/FEC.md)")
+    ap.add_argument("--payload", type=int, default=20)
     args = ap.parse_args()
+
+    if args.soft:
+        return soft_sweep(args)
 
     config = FSKConfig(baud_rate=args.baud, mark_frequency=args.mark,
                        space_frequency=args.space)
@@ -51,6 +60,41 @@ def main():
         if golden:
             row += f" {golden[i].ber:>12.5f} {golden[i].fer:>10.3f}"
         print(row)
+
+
+def soft_sweep(args):
+    import numpy as np
+
+    from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
+    from webaudio_modem_tpu.models.fsk import FSKCore
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    config = FSKConfig(baud_rate=args.baud, mark_frequency=args.mark,
+                       space_frequency=args.space)
+    params = FSKParams.from_config(config)
+    payload = bytes((i * 29 + 3) & 0xFF for i in range(args.payload))
+    soft_sig = soft_fsk.encode_frame_signal(params, payload)
+    print(f"soft FSK+FEC vs hard UART, {args.payload} B payload, "
+          f"{args.messages} frames/point, {args.baud} baud")
+
+    def add_noise(sig, snr_db, rng):
+        power = float(np.mean(np.asarray(sig, np.float64) ** 2))
+        amp = np.sqrt(3 * power / (10 ** (snr_db / 10)))
+        noise = amp * (rng.uniform(size=len(sig)) * 2 - 1)
+        return (np.asarray(sig) + noise).astype(np.float32)
+
+    print(f"{'SNR dB':>8} {'soft+FEC FSR':>14} {'hard UART FSR':>14}")
+    for snr in args.snrs:
+        rng = np.random.RandomState(1000 + int(snr * 10))
+        s_ok = h_ok = 0
+        for _ in range(args.messages):
+            s_ok += soft_fsk.decode_frame_signal(
+                params, add_noise(soft_sig, snr, rng)) == payload
+            core = FSKCore(config)
+            h_ok += core.demodulate_data(
+                add_noise(core.modulate_data(payload), snr, rng)) == payload
+        print(f"{snr:>8.1f} {s_ok / args.messages:>14.2f} "
+              f"{h_ok / args.messages:>14.2f}")
 
 
 if __name__ == "__main__":
