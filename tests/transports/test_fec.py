@@ -276,3 +276,24 @@ class TestSoftPhysicalLayer:
                 add_noise(hard_sig, 6, rng)) == payload
         assert soft_ok >= 5
         assert soft_ok > hard_ok
+
+    def test_batched_farm_scale_soft_decode(self):
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKParams)
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        B = 16
+        payloads = [bytes([(i * 7 + 1) & 0xFF] * 12) for i in range(B)]
+        sigs = np.stack([soft_fsk.encode_frame_signal(params, p)
+                         for p in payloads])
+        rng = np.random.RandomState(3)
+        power = float(np.mean(sigs[0].astype(np.float64) ** 2))
+        amp = np.sqrt(3 * power / 10 ** 0.8)  # 8 dB SNR
+        noisy = (sigs + amp * (rng.uniform(size=sigs.shape) * 2 - 1)
+                 ).astype(np.float32)
+        noisy[5] = amp * (rng.uniform(size=noisy[5].shape) * 2 - 1)
+        out = soft_fsk.decode_frames_batch(params, noisy, 12)
+        assert out[5] is None                       # garbage channel
+        good = sum(out[b] == payloads[b] for b in range(B) if b != 5)
+        assert good >= B - 2                        # noisy but decodable

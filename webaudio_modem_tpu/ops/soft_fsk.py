@@ -137,3 +137,86 @@ def decode_frame_signal(params: FSKParams, samples,
                     ((body[ln] << 8) | body[ln + 1]):
                 return payload
     return None
+
+
+def decode_frames_batch(params: FSKParams, samples,
+                        payload_len: int):
+    """Farm-scale soft decode: [B, T] signals -> list of payloads
+    (None per channel that failed).
+
+    All channels must carry frames with the SAME payload length (the
+    batched-modulation convention, fsk_mod.modulate_batch).  The whole
+    batch costs TWO batched Viterbi calls: one over every
+    (channel x grid-offset) header candidate, one over the bodies at
+    each channel's CRC-selected grid.
+    """
+    samples = np.asarray(samples, np.float32)
+    B = samples.shape[0]
+    bits, amps, softs = fsk_demod.soft_stream(params, samples)
+    softs = softs.astype(np.float64)                   # [n_ds, B]
+    n_ds = softs.shape[0]
+
+    W = params.sync_window
+    ext = jnp.concatenate(
+        [jnp.zeros((W, B), jnp.float32), jnp.asarray(bits)], 0)
+    ratios = np.asarray(fsk_demod._sync_ratios(params, ext))  # [n_ds, B]
+    t_peak = ratios.argmax(axis=0)                     # [B]
+    peak_ok = ratios[t_peak, np.arange(B)] > params.config.sync_threshold
+
+    ds = params.ds_samples_per_bit
+    offsets = np.arange(-ds - ds // 4, ds // 4 + 1)    # [n_off]
+    n_off = len(offsets)
+    h_bits = HEADER_CODED_BITS
+    starts = (t_peak[:, None] + 1 + offsets[None, :])  # [B, n_off]
+    valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
+        peak_ok[:, None]
+    starts_c = np.clip(starts, 0, max(n_ds - h_bits * ds, 0))
+
+    # header LLR windows for every (channel, offset) candidate
+    idx = (starts_c[:, :, None, None]
+           + (np.arange(h_bits) * ds)[None, None, :, None]
+           + np.arange(ds)[None, None, None, :])       # [B, n_off, h, ds]
+    ch = np.arange(B)[:, None, None, None]
+    h_llr = np.float32(params.polarity) * \
+        softs[idx, ch].sum(axis=-1)                    # [B, n_off, h]
+    headers = fec.viterbi_decode_soft(
+        h_llr.reshape(B * n_off, h_bits),
+        8 * HEADER_PLAIN).reshape(B, n_off, -1)
+
+    # per channel: first offset whose header CRC validates AND whose
+    # advertised length matches the batch convention
+    body_bits = _body_coded_bits(payload_len)
+    chosen = np.full(B, -1, np.int64)
+    for b in range(B):
+        for k in range(n_off):
+            if not valid[b, k]:
+                continue
+            header = fec.bits_to_bytes(headers[b, k])
+            ln = (header[0] << 8) | header[1]
+            crc = (header[2] << 8) | header[3]
+            if CRC16.calculate(header[:2]) != crc or ln != payload_len:
+                continue
+            if starts[b, k] + (h_bits + body_bits) * ds > n_ds:
+                continue
+            chosen[b] = k
+            break
+
+    ok = chosen >= 0
+    results = [None] * B
+    if not ok.any():
+        return results
+    sel = np.nonzero(ok)[0]
+    b_starts = starts[sel, chosen[sel]] + h_bits * ds
+    idx = (b_starts[:, None, None]
+           + (np.arange(body_bits) * ds)[None, :, None]
+           + np.arange(ds)[None, None, :])             # [k, body, ds]
+    b_llr = np.float32(params.polarity) * \
+        softs[idx, sel[:, None, None]].sum(axis=-1)
+    bodies = fec.viterbi_decode_soft(b_llr, 8 * (payload_len + 2))
+    for i, b in enumerate(sel):
+        body = fec.bits_to_bytes(bodies[i])
+        payload = body[:payload_len]
+        crc = (body[payload_len] << 8) | body[payload_len + 1]
+        if CRC16.calculate(payload) == crc:
+            results[b] = payload
+    return results
