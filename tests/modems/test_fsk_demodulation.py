@@ -359,3 +359,30 @@ class TestBatched:
         for i, m in enumerate(msgs):
             n = int(out.byte_count[i])
             assert bytes(np.asarray(out.bytes_out[i][:n])) == m
+
+
+class TestStatusParity:
+    def test_status_fields_match_reference_surface(self):
+        # reference getStatus (fsk.ts:481-493) field parity
+        core = FSKCore(DEFAULT_FSK_CONFIG)
+        st = core.get_status()
+        for key in ("ready", "frame_started", "global_sample_counter",
+                    "sync_detections", "eod_events", "silence_threshold",
+                    "demodulation_calls", "total_samples_processed",
+                    "received_bits_length", "byte_buffer_length"):
+            assert key in st, key
+        assert st["demodulation_calls"] == 0
+
+        sig = core.modulate_data(b"S")
+        core.demodulate_data(sig)
+        core.demodulate_data(np.zeros(100, np.float32))
+        st = core.get_status()
+        assert st["demodulation_calls"] == 2
+        assert st["total_samples_processed"] == len(sig) + 100
+        assert st["received_bits_length"] > 0
+
+        core.reset()  # reset() zeroes the debug counters (fsk.ts:468)
+        st = core.get_status()
+        assert st["demodulation_calls"] == 0
+        assert st["total_samples_processed"] == 0
+        assert st["received_bits_length"] == 0

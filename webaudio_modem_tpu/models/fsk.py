@@ -30,6 +30,9 @@ class FSKCore(IModulator):
         self._state = None
         self._ds_phase = 0
         self._threshold_carry = None  # persists across configure (fsk.ts:128)
+        # debug counters (fsk.ts:127-131; zeroed by reset(), fsk.ts:468)
+        self._demodulation_calls = 0
+        self._total_samples = 0
         if config is not None:
             self.configure(config)
 
@@ -80,6 +83,8 @@ class FSKCore(IModulator):
         # while state carry keeps results identical to a single call.
         from webaudio_modem_tpu.utils.trace import metrics
 
+        self._demodulation_calls += 1
+        self._total_samples += len(samples)
         result = bytearray()
         offset = 0
         n = len(samples)
@@ -119,6 +124,8 @@ class FSKCore(IModulator):
         filters, downsample accumulators and debug counters — but
         PRESERVES the AGC gain, the pre-filter state, the sync
         *amplitude* buffer and the adaptive silence threshold."""
+        self._demodulation_calls = 0
+        self._total_samples = 0
         if self.params is not None and self._state is not None:
             old = self._state
             self._init_state()  # carries threshold via _threshold_carry
@@ -135,7 +142,9 @@ class FSKCore(IModulator):
     # -- observability ------------------------------------------------------
 
     def get_status(self) -> dict:
+        # field parity with the reference getStatus (fsk.ts:481-493)
         s = self._state
+        p = self.params
         return {
             "ready": self._ready,
             "frame_started": bool(s.started[0]) if s is not None else False,
@@ -144,6 +153,15 @@ class FSKCore(IModulator):
             "eod_events": int(s.eod_count[0]) if s is not None else 0,
             "silence_threshold": float(s.threshold[0])
             if s is not None else 0.01,
+            "demodulation_calls": self._demodulation_calls,
+            "total_samples_processed": self._total_samples,
+            # syncSamplesBuffer fill (capped at the carried window)
+            "received_bits_length": int(min(int(s.bit_fill[0]),
+                                            p.sync_window))
+            if s is not None and p is not None else 0,
+            # decoded bytes are returned synchronously, never buffered
+            # in the core (the processor's RingBuffer is that analog)
+            "byte_buffer_length": 0,
         }
 
     def get_signal_quality(self) -> SignalQuality:
