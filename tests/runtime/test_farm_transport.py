@@ -223,3 +223,28 @@ async def test_sequential_rounds_queues_stay_bounded():
     finally:
         hub.stop()
         await pump
+
+
+async def test_farm_hub_on_device_mesh():
+    """The hub's farms shard their channel batch over a device mesh
+    (multi-chip layout on the 8-device virtual CPU mesh)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        return
+    from webaudio_modem_tpu.parallel.sharding import make_mesh
+
+    B = 8
+    hub = FarmLoopbackHub(DEFAULT_FSK_CONFIG, B, mesh=make_mesh(8))
+    pump = asyncio.ensure_future(hub.run())
+    tx = XModemTransport(hub.channel("a", 3))
+    rx = XModemTransport(hub.channel("b", 3))
+    tx.configure({"timeout_ms": 60000})
+    rx.configure({"timeout_ms": 60000})
+    try:
+        recv = asyncio.ensure_future(rx.receive_data())
+        await tx.send_data(b"sharded hub")
+        assert await recv == b"sharded hub"
+    finally:
+        hub.stop()
+        await pump
