@@ -193,10 +193,15 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     if T_blk == 0:
         # VMEM scales with rows = B/128: the input block + 3 output
         # blocks are double-buffered, so shrink the time-block as the
-        # batch grows beyond 4096 to stay inside the ~16 MB budget
-        # (measured: 256 fits at B=4096; 128 overflows at B=8192).
-        if B <= 4096:
+        # batch grows to stay inside the ~16 MB scoped budget.
+        # Slope-calibrated on v5e: 256 is best through B=2048; at
+        # B=4096 the 256-block pipeline starves double-buffering
+        # (190k bench channels vs 211k at 192); above 4096 the ladder
+        # formula keeps the blocks inside VMEM.
+        if B <= 2048:
             T_blk = 256
+        elif B <= 4096:
+            T_blk = 192
         else:
             T_blk = max(64 * 8192 // B, 4 * ratio)
     T_blk = min(T_blk, max(T_m, ratio))
