@@ -240,3 +240,27 @@ class TestSyncRatioEquivalence:
         fast = np.asarray(_sync_ratios(params, jnp.asarray(ext)))
         ref = np.asarray(_sync_ratios_conv(params, jnp.asarray(ext)))
         np.testing.assert_allclose(fast, ref, atol=1e-6)
+
+    def test_mxu_bit_identical_to_cumsum(self):
+        # the MXU sync correlation (two exact bf16 integer matmuls)
+        # must be BIT-identical to the cumsum block-sum fallback and
+        # match the conv oracle, across configs and odd chunk shapes
+        import jax.numpy as jnp
+
+        from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
+        from webaudio_modem_tpu.ops.fsk_demod import (
+            _sync_ratios_conv, _sync_ratios_cumsum, _sync_ratios_mxu)
+
+        rng = np.random.RandomState(7)
+        cases = [(300, 2400), (300, 137), (1200, 600), (1200, 1),
+                 (1200, 3), (2400, 977)]
+        for baud, n_ds in cases:
+            params = FSKParams.from_config(FSKConfig(baud_rate=baud))
+            ext = (rng.uniform(size=(params.sync_window + n_ds, 5)) > 0.5
+                   ).astype(np.float32)
+            mxu = np.asarray(_sync_ratios_mxu(params, jnp.asarray(ext)))
+            cs = np.asarray(_sync_ratios_cumsum(params, jnp.asarray(ext)))
+            assert np.array_equal(mxu, cs), (baud, n_ds)
+            conv = np.asarray(_sync_ratios_conv(params, jnp.asarray(ext)))
+            np.testing.assert_allclose(mxu, conv, atol=1e-6,
+                                       err_msg=f"{baud} {n_ds}")

@@ -154,6 +154,23 @@ class TestChunkedStreaming:
         bad = [b for b in range(B) if out[b] != data]
         assert not bad, f"offsets failed to decode: {bad}"
 
+    def test_demodulate_stream_equals_loop(self):
+        # throughput-mode grouped streaming (farm.demodulate_stream)
+        # must decode byte-for-byte what the per-chunk loop decodes,
+        # including a trailing partial group and trailing odd chunk
+        from webaudio_modem_tpu.models.farm import ModemFarm
+
+        B = 4
+        msgs = [bytes([65 + b, 48 + b]) for b in range(B)]
+        farm = ModemFarm(DEFAULT_FSK_CONFIG, B, donate=False)
+        sig = np.asarray(farm.modulate(msgs))
+        sig = np.concatenate(
+            [sig, np.zeros((B, 777), np.float32)], axis=1)  # odd tail
+        loop = farm.demodulate(sig, chunk_size=512)
+        farm.reset()
+        grouped = farm.demodulate_stream(sig, chunk_size=512, group=3)
+        assert grouped == loop == msgs
+
     def test_silence_prefix(self, core):
         # reference fsk-demodulation.node.test.ts:400-437
         data = b"\x42"

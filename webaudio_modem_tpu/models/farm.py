@@ -22,12 +22,34 @@ from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
 from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
 
 
+class _FskOps:
+    init_state = staticmethod(fsk_demod.init_state)
+    make_demod_chunk = staticmethod(fsk_demod.make_demod_chunk)
+    modulate_batch = staticmethod(fsk_mod.modulate_batch)
+
+
+class _PskOps:
+    # staticmethods bound lazily on first PSK resolve (keeps the psk
+    # module import off the FSK-only path)
+    init_state = None
+    make_demod_chunk = None
+    modulate_batch = None
+
+
 def _resolve_family(config):
-    """Map a config object to its (ops module, derived params)."""
+    """Map a config object to its (ops singleton, derived params).
+    The ops objects are module-level singletons so they are stable
+    cache keys for _make_group_runner."""
     from webaudio_modem_tpu.models.psk import PSKConfig
 
     if isinstance(config, PSKConfig):
         from webaudio_modem_tpu.ops import psk as psk_ops
+
+        if _PskOps.init_state is None:
+            _PskOps.init_state = staticmethod(psk_ops.init_state)
+            _PskOps.make_demod_chunk = staticmethod(
+                psk_ops.make_demod_chunk)
+            _PskOps.modulate_batch = staticmethod(psk_ops.modulate_batch)
 
         params = psk_ops.psk_params(
             carrier_frequency=config.carrier_frequency,
@@ -41,20 +63,31 @@ def _resolve_family(config):
             sync_threshold=config.sync_threshold,
             agc_enabled=config.agc_enabled,
             pre_filter_bandwidth=config.pre_filter_bandwidth)
-
-        class _PskOps:
-            init_state = staticmethod(psk_ops.init_state)
-            make_demod_chunk = staticmethod(psk_ops.make_demod_chunk)
-            modulate_batch = staticmethod(psk_ops.modulate_batch)
-
         return _PskOps, params
 
-    class _FskOps:
-        init_state = staticmethod(fsk_demod.init_state)
-        make_demod_chunk = staticmethod(fsk_demod.make_demod_chunk)
-        modulate_batch = staticmethod(fsk_mod.modulate_batch)
-
     return _FskOps, FSKParams.from_config(config)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _make_group_runner(ops, params, ds_phase: int, chunk_size: int):
+    """Jitted scan over a [group, B, chunk] stack of frames with the
+    carried state donated — the per-chunk computation is exactly
+    demodulate_chunk's (the inner jitted step inlines into the trace).
+    Requires chunk_size % downsample_ratio == 0 so ds_phase is
+    loop-invariant."""
+    step = ops.make_demod_chunk(params, ds_phase, donate=False)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state, xs):
+        def body(st, x):
+            st, out = step(st, x)
+            return st, (out.byte_count, out.bytes_out)
+        return jax.lax.scan(body, state, xs)
+
+    return run
 
 
 class ModemFarm:
@@ -122,6 +155,64 @@ class ModemFarm:
         for start in range(0, T, chunk):
             with metrics.timer("farm.chunk"):
                 out = self.demodulate_chunk(samples[:, start:start + chunk])
+                pieces = self.collect_bytes(out)
+            for b, piece in enumerate(pieces):
+                collected[b] += piece
+        total = sum(len(c) for c in collected)
+        if total:
+            metrics.incr("farm.bytes_decoded", total)
+        return [bytes(c) for c in collected]
+
+    def demodulate_stream(self, samples, chunk_size: int,
+                          group: int = 8) -> List[bytes]:
+        """Throughput-mode streaming demodulation.
+
+        Identical per-chunk computation to ``demodulate`` (fixed quanta,
+        carried state — byte-for-byte the same decode), but ``group``
+        consecutive chunks are scanned inside ONE jitted dispatch with
+        the state donated across groups.  Host round trips cost ~2 ms
+        of dispatch overhead each on a tunneled v5e — more than the
+        0.78 ms a whole 0.1 s x 2048-channel chunk takes to compute —
+        so grouping them is how a production farm should run whenever
+        it can afford ``group`` chunks of output latency
+        (docs/PERFORMANCE.md).  Falls back to the per-chunk loop for a
+        trailing partial group or when ``chunk_size`` is not aligned to
+        the downsample ratio.
+        """
+        import jax.numpy as jnp
+
+        from webaudio_modem_tpu.utils.trace import metrics
+
+        samples = np.asarray(samples, dtype=np.float32)
+        B, T = samples.shape
+        if B != self.batch:
+            raise ValueError(f"expected batch {self.batch}, got {B}")
+        collected = [bytearray() for _ in range(B)]
+
+        aligned = chunk_size % self.params.downsample_ratio == 0
+        n_grouped = (T // (chunk_size * group)) * group if aligned else 0
+        if n_grouped:
+            run = _make_group_runner(self._ops, self.params,
+                                     self._ds_phase, chunk_size)
+            for g0 in range(0, n_grouped, group):
+                lo = g0 * chunk_size
+                hi = (g0 + group) * chunk_size
+                xs = jnp.asarray(samples[:, lo:hi].reshape(
+                    B, group, chunk_size).swapaxes(0, 1))
+                with metrics.timer("farm.chunk"):
+                    self.state, (counts, vals) = run(self.state, xs)
+                    counts = np.asarray(counts)     # [group, B]
+                    vals = np.asarray(vals)         # [group, B, maxb]
+                for k in range(group):
+                    for b in range(B):
+                        c = counts[k, b]
+                        if c:
+                            collected[b] += bytes(vals[k, b, :c])
+        # trailing chunks (or the whole signal when grouping is off)
+        for start in range(n_grouped * chunk_size, T, chunk_size):
+            with metrics.timer("farm.chunk"):
+                out = self.demodulate_chunk(samples[:, start:start +
+                                                    chunk_size])
                 pieces = self.collect_bytes(out)
             for b, piece in enumerate(pieces):
                 collected[b] += piece
