@@ -121,6 +121,32 @@ class TestChunkedStreaming:
             out += core.demodulate_data(sig[i:i + chunk])
         assert out == data
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_chunk_splits_equal_whole(self, seed):
+        # property form of the chunk-invariance contract
+        # (fsk-demodulation.node.test.ts:718-753 tests fixed sizes):
+        # ANY partition of the stream — including 1-sample slivers and
+        # odd/even mixes that exercise the downsample-phase carry —
+        # must decode identically to the whole signal, with noise on.
+        rng = np.random.RandomState(seed)
+        data = bytes(rng.randint(0, 256, size=6, dtype=np.uint8))
+        core = FSKCore(DEFAULT_FSK_CONFIG)
+        sig = np.asarray(core.modulate_data(data))
+        noise = (rng.uniform(-1, 1, size=sig.shape) *
+                 np.sqrt(3 * 10 ** (-30 / 10) * 0.5)).astype(np.float32)
+        sig = sig + noise
+        core.configure(DEFAULT_FSK_CONFIG)
+        whole = core.demodulate_data(sig)
+        core.configure(DEFAULT_FSK_CONFIG)
+        out = b""
+        i = 0
+        while i < len(sig):
+            n = int(rng.randint(1, 518))
+            out += core.demodulate_data(sig[i:i + n])
+            i += n
+        assert whole == data
+        assert out == data
+
     @pytest.mark.parametrize("offset", [0, 1, 7, 31, 63, 64, 65, 97, 127])
     def test_start_offsets_streaming(self, core, offset):
         # per-offset spot checks through the B=1 streaming path in
