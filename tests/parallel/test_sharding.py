@@ -56,6 +56,20 @@ def test_streaming_chunks_sharded(mesh):
     assert out == msgs
 
 
+def test_demodulate_stream_sharded(mesh):
+    """The grouped-dispatch throughput path (jitted scan + donated
+    state) must preserve the mesh sharding across groups and decode
+    identically to the per-chunk loop."""
+    B = 16
+    msgs = [bytes([65 + i]) for i in range(B)]
+    farm = ModemFarm(DEFAULT_FSK_CONFIG, B, mesh=mesh)
+    sig = np.asarray(farm.modulate(msgs))
+    sig = np.concatenate([sig, np.zeros((B, 333), np.float32)], axis=1)
+    out = farm.demodulate_stream(sig, chunk_size=512, group=4)
+    assert out == msgs
+    assert farm.state.agc_gain.sharding == channel_sharding(mesh)
+
+
 def test_psk_farm_on_mesh(mesh):
     """0-d state leaves (PSK delay-line index) must replicate, not
     crash device_put (round-1 advisor finding)."""
