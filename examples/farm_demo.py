@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--channels", type=int, default=256)
     ap.add_argument("--baud", type=int, default=300)
     ap.add_argument("--chunk", type=int, default=4800)
+    ap.add_argument("--group", type=int, default=0,
+                    help="chunks per dispatch (throughput mode via "
+                         "ModemFarm.demodulate_stream; 0 = per-chunk "
+                         "interactive loop)")
     args = ap.parse_args()
 
     config = FSKConfig(baud_rate=args.baud, mark_frequency=1270,
@@ -40,7 +44,11 @@ def main():
           f"({signals.shape[1] / config.sample_rate:.2f}s of audio each)")
 
     t0 = time.time()
-    decoded = farm.demodulate(signals, chunk_size=args.chunk)
+    if args.group > 1:
+        decoded = farm.demodulate_stream(signals, chunk_size=args.chunk,
+                                         group=args.group)
+    else:
+        decoded = farm.demodulate(signals, chunk_size=args.chunk)
     wall = time.time() - t0
     ok = sum(1 for d, m in zip(decoded, msgs) if d == m)
     audio = signals.shape[1] / config.sample_rate
