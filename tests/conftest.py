@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (hundreds
+# of distinct (config, chunk-shape) traces), so repeat runs skip most of
+# the XLA:CPU compile wall time.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/wam_jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import asyncio  # noqa: E402
 import inspect  # noqa: E402
 
