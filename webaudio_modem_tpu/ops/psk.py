@@ -155,24 +155,34 @@ def init_state(params: FSKParams, batch: int = 1) -> PSKDemodState:
     )
 
 
-def _psk_decision(params: FSKParams, dsc, avg_i, avg_q):
-    """sign(Re(z * conj(z_delayed_one_bit))) slicer + amplitude.
+def _psk_soft(params: FSKParams, avg_i, avg_q, di, dq,
+              atan2=jnp.arctan2):
+    """Pure DBPSK decision math (no delay-line bookkeeping):
+    sign(Re(z * conj(z_delayed_one_bit))) slicer + amplitude.
 
     Also emits a ``soft`` value for SignalQuality: the differential
     phase angle arg(z * conj(z_delay)) wrapped to its nearest
     constellation point (0 for bit 1, ±pi for bit 0), i.e. the angular
     deviation whose mean tracks carrier frequency offset (rotation per
-    bit period) and whose spread is the phase jitter."""
-    zbi, zbq, idx = dsc
-    di = zbi[idx]
-    dq = zbq[idx]
+    bit period) and whose spread is the phase jitter.  ``atan2`` is
+    injectable because Pallas TPU has no atan2 lowering (the kernel
+    substitutes ops/pallas/tpu_math.atan2)."""
     re = avg_i * di + avg_q * dq
     im = avg_q * di - avg_i * dq
     bit = (re > 0).astype(jnp.float32)
     amp = jnp.sqrt(avg_i * avg_i + avg_q * avg_q)
-    ang = jnp.arctan2(im, re)
+    ang = atan2(im, re)
     pi = jnp.float32(np.pi)
     soft = jnp.where(re > 0, ang, ang - jnp.sign(ang) * pi)
+    return bit, amp, soft
+
+
+def _psk_decision(params: FSKParams, dsc, avg_i, avg_q):
+    """_psk_soft + the one-bit-period delay ring bookkeeping."""
+    zbi, zbq, idx = dsc
+    di = zbi[idx]
+    dq = zbq[idx]
+    bit, amp, soft = _psk_soft(params, avg_i, avg_q, di, dq)
     zbi = jax.lax.dynamic_update_index_in_dim(zbi, avg_i, idx, 0)
     zbq = jax.lax.dynamic_update_index_in_dim(zbq, avg_q, idx, 0)
     idx = (idx + 1) % jnp.int32(params.ds_samples_per_bit)
@@ -227,6 +237,20 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
         pos = need
 
     n_groups = (T - pos) // ratio
+
+    if n_groups and not _fd.FORCE_LAX_SEQ:
+        # Pallas fast path: whole aligned body in one TPU kernel
+        from webaudio_modem_tpu.ops.pallas import psk_seq
+
+        if psk_seq.available(params, B):
+            xm = xT[pos:pos + n_groups * ratio]
+            fr, dsc, bm, am, sm = psk_seq.seq_main(params, fr, dsc, xm)
+            bits_parts.append(bm)
+            amps_parts.append(am)
+            soft_parts.append(sm)
+            pos += n_groups * ratio
+            n_groups = 0
+
     main = (n_groups // unroll) * unroll
     if main:
         xs = xT[pos:pos + main * ratio].reshape(
@@ -301,31 +325,44 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
     ratios = _fd._sync_ratios(params, ext_bits)
     means = _fd._amp_means(params, state, ext_amps, n_ds)
-    t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
-    gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
-        jnp.int32(params.sync_window)
 
-    d_carry, (byte_vals, emits, eods, fires) = _fd._stage_d(
-        params, state, bits, amps, ratios, means, gate_fill)
+    # Stage D + byte compaction: same dispatch as the FSK family —
+    # compact Pallas kernel in VMEM on TPU (emits [maxb+4, B]
+    # aggregates), lax scan + masked-sum slots otherwise.
+    use_compact = False
+    if not _fd.FORCE_LAX_SEQ:
+        from webaudio_modem_tpu.ops.pallas import fsk_framing
+
+        use_compact = fsk_framing.compact_available(B, maxb)
+    if use_compact:
+        d_carry, (bytes_i32, byte_count, eod_fired, sync_fired,
+                  fire_t) = fsk_framing.stage_d_compact(
+            params, state, bits, amps, ratios, means, maxb)
+        bytes_out = bytes_i32.astype(jnp.uint8)
+    else:
+        t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
+        gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
+            jnp.int32(params.sync_window)
+        d_carry, (byte_vals, emits, eods, fires) = _fd._stage_d(
+            params, state, bits, amps, ratios, means, gate_fill)
+        t_idx = jnp.arange(bits.shape[0], dtype=jnp.int32)[:, None]
+        fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
+        positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
+        vals_i32 = byte_vals.astype(jnp.int32)
+        slot = jnp.where(emits, positions, jnp.int32(-1))
+        cols = [jnp.sum(jnp.where(slot == j, vals_i32, 0), axis=0)
+                for j in range(maxb)]
+        bytes_out = jnp.stack(cols, axis=1).astype(jnp.uint8)
+        byte_count = emits.astype(jnp.int32).sum(0)
+        eod_fired = eods.astype(jnp.int32).sum(0)
+        sync_fired = fires.astype(jnp.int32).sum(0)
     (started_i, counter, sil, threshold, accum, count, bsc, next_idx,
      byte_cur, pos) = d_carry
 
     # SignalQuality accumulators — shared helper with the FSK family
-    t_idx = jnp.arange(bits.shape[0], dtype=jnp.int32)[:, None]
-    fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
     (last_sync_ratio, q_win_sum, q_win_sumsq,
      q_win_cnt) = _fd.quality_window_update(params, state, ratios,
                                             softs, fire_t)
-
-    positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
-    vals_i32 = byte_vals.astype(jnp.int32)
-    slot = jnp.where(emits, positions, jnp.int32(-1))
-    cols = [jnp.sum(jnp.where(slot == j, vals_i32, 0), axis=0)
-            for j in range(maxb)]
-    bytes_out = jnp.stack(cols, axis=1).astype(jnp.uint8)
-    byte_count = emits.astype(jnp.int32).sum(0)
-    eod_fired = eods.astype(jnp.int32).sum(0)
-    sync_fired = fires.astype(jnp.int32).sum(0)
 
     new_state = PSKDemodState(
         agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
