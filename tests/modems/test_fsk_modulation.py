@@ -68,3 +68,40 @@ def test_different_patterns_differ_but_same_length():
     assert len(s1) == len(s2)
     diff_frac = np.mean(np.abs(s1 - s2) > 0.1)
     assert diff_frac > 0.10
+
+
+def test_framed_table_matches_direct():
+    # the 256-entry framing table must equal per-byte _framed_bits for
+    # every byte, including parity configs
+    from webaudio_modem_tpu.models.config import FSKConfig, _framed_bits
+    from webaudio_modem_tpu.ops.fsk_mod import _framed_table
+
+    for parity in ("none", "even", "odd"):
+        cfg = FSKConfig(parity=parity)
+        table = _framed_table(cfg)
+        for v in (0, 1, 0x55, 0x7E, 0xAA, 0xFF, 137):
+            assert tuple(table[v]) == _framed_bits(v, cfg), (parity, v)
+
+
+def test_int_synth_matches_float64_tables():
+    # the on-device integer-phase synthesis must match the float64
+    # host-table path to float32 rounding (same phases mod 2*pi)
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
+    from webaudio_modem_tpu.ops import fsk_mod
+
+    for baud, mark, space in ((1200, 1650, 1850), (300, 1270, 1070)):
+        params = FSKParams.from_config(FSKConfig(
+            baud_rate=baud, mark_frequency=mark, space_frequency=space))
+        msgs = [b"Ab\x00\xff", b"\x55\x7e\x7e\x55"]
+        bits = fsk_mod.frame_bits_batch(params, msgs)
+        offsets, omega = fsk_mod._phase_tables(params, bits)
+        lead = params.samples_per_bit * 2
+        trail = params.bits_per_byte * params.samples_per_bit
+        ref = fsk_mod._synth(offsets, omega, params.samples_per_bit,
+                             (lead, trail))
+        fast = fsk_mod._synth_int(params, jnp.asarray(bits),
+                                  (lead, trail))
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-5)

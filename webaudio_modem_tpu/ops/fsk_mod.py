@@ -26,14 +26,38 @@ import jax
 from webaudio_modem_tpu.models.config import FSKParams, _framed_bits
 
 
+@functools.lru_cache(maxsize=32)
+def _framed_table(config) -> np.ndarray:
+    """[256, bits_per_byte] int8 lookup of UART-framed bytes — lets the
+    batch framing below be one fancy-index instead of a Python loop per
+    (message, byte, bit).  Cached per config; treat as read-only."""
+    table = np.asarray([_framed_bits(v, config) for v in range(256)],
+                       dtype=np.int8)
+    table.setflags(write=False)
+    return table
+
+
 def frame_bits(params: FSKParams, data: bytes) -> np.ndarray:
     """UART-frame preamble + SFD + data into a bit array (host, numpy)."""
+    return frame_bits_batch(params, [bytes(data)])[0]
+
+
+def frame_bits_batch(params: FSKParams,
+                     messages: Sequence[bytes]) -> np.ndarray:
+    """UART-frame a batch of equal-length messages -> [B, n_bits] int8.
+
+    Vectorized: the per-byte framed-bit pattern is a 256-entry table
+    lookup, so framing B=2048 channels costs two numpy ops instead of
+    ~300k Python bit appends (which dominated farm-scale TX)."""
     cfg = params.config
-    frames = [*cfg.preamble_pattern, *cfg.sfd_pattern, *bytes(data)]
-    bits = []
-    for byte in frames:
-        bits.extend(_framed_bits(byte, cfg))
-    return np.asarray(bits, dtype=np.int8)
+    table = _framed_table(cfg)
+    pre = np.asarray([*cfg.preamble_pattern, *cfg.sfd_pattern], np.uint8)
+    B = len(messages)
+    data = np.frombuffer(b"".join(messages), np.uint8).reshape(B, -1) \
+        if messages[0] else np.zeros((B, 0), np.uint8)
+    all_bytes = np.concatenate(
+        [np.tile(pre[None, :], (B, 1)), data], axis=1)
+    return table[all_bytes].reshape(B, -1)
 
 
 def signal_length(params: FSKParams, n_data_bytes: int) -> int:
@@ -78,6 +102,47 @@ def _synth(offsets, omega, samples_per_bit: int, pad: Tuple[int, int]):
     return jnp.pad(sig, pad_widths)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _synth_int(params: FSKParams, bits, pad: Tuple[int, int]):
+    """Fully on-device synthesis for integer mark/space/sample-rate
+    configs (the practical case): only the [B, n_bits] int8 bit plane
+    crosses the host->device boundary.
+
+    The per-bit phase advance is 2*pi*(f*spb mod fs)/fs, so the phase
+    prefix sum is EXACT integer arithmetic mod fs (int32: n_bits*fs
+    stays < 2^31 for any realistic frame) — same values mod 2*pi as
+    the float64 host tables, without uploading them.
+    """
+    import jax.numpy as jnp
+
+    spb = params.samples_per_bit
+    fs = int(params.sample_rate)
+    mark_step = int(params.mark_freq) * spb % fs
+    space_step = int(params.space_freq) * spb % fs
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    steps = jnp.where(bits == 1, jnp.int32(mark_step),
+                      jnp.int32(space_step))
+    acc = (jnp.cumsum(steps, axis=-1) - steps) % jnp.int32(fs)
+    offsets = acc.astype(jnp.float32) * (two_pi / fs)
+    omega = jnp.where(
+        bits == 1,
+        jnp.float32(2.0 * np.pi * int(params.mark_freq) / fs),
+        jnp.float32(2.0 * np.pi * int(params.space_freq) / fs))
+    k = jnp.arange(spb, dtype=jnp.float32)
+    sig = jnp.sin(offsets[..., None] + omega[..., None] * k)
+    sig = sig.reshape(*sig.shape[:-2], -1)
+    lead, trail = pad
+    pad_widths = [(0, 0)] * (sig.ndim - 1) + [(lead, trail)]
+    return jnp.pad(sig, pad_widths)
+
+
+def _int_config(params: FSKParams) -> bool:
+    return (float(params.mark_freq).is_integer()
+            and float(params.space_freq).is_integer()
+            and float(params.sample_rate).is_integer())
+
+
 def modulate(params: FSKParams, data: bytes) -> np.ndarray:
     """Modulate one message -> float32 [T] (host convenience API)."""
     return np.asarray(modulate_batch(params, [data])[0])
@@ -104,9 +169,15 @@ def modulate_batch(params: FSKParams, messages: Sequence[bytes]):
         raise ValueError(
             "modulate_batch requires equal-length messages; pad at the "
             "transport layer or call per-message")
-    bits = np.stack([frame_bits(params, m) for m in messages])
-    offsets, omega = _phase_tables(params, bits)
+    bits = frame_bits_batch(params, [bytes(m) for m in messages])
     total_bytes = bits.shape[-1] // params.bits_per_byte
     lead = params.samples_per_bit * 2 if total_bytes > 0 else 0
     trail = params.bits_per_byte * params.samples_per_bit
+    # integer-frequency configs synthesize fully on-device from the
+    # bit plane (the int32 phase prefix must not overflow: gate on
+    # n_bits * fs < 2^31, ~4.4 KB messages at 48 kHz)
+    if _int_config(params) and \
+            bits.shape[-1] * int(params.sample_rate) < 2 ** 31:
+        return _synth_int(params, bits, (lead, trail))
+    offsets, omega = _phase_tables(params, bits)
     return _synth(offsets, omega, params.samples_per_bit, (lead, trail))
