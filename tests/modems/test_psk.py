@@ -134,3 +134,22 @@ class TestPSKFarm:
         farm = ModemFarm(DEFAULT_PSK_CONFIG, B, donate=False)
         sig = np.asarray(farm.modulate(msgs))
         assert farm.demodulate(sig, chunk_size=2048) == msgs
+
+
+def test_psk_demodulate_stream_equals_loop():
+    # the grouped-dispatch throughput path is family-generic: PSK farm
+    # decode through demodulate_stream must equal the per-chunk loop
+    import numpy as np
+
+    from webaudio_modem_tpu.models.farm import ModemFarm
+    from webaudio_modem_tpu.models.psk import PSKConfig
+
+    B = 4
+    msgs = [bytes([65 + b, 48 + b]) for b in range(B)]
+    farm = ModemFarm(PSKConfig(), B, donate=False)
+    sig = np.asarray(farm.modulate(msgs))
+    sig = np.concatenate([sig, np.zeros((B, 555), np.float32)], axis=1)
+    loop = farm.demodulate(sig, chunk_size=512)
+    farm.reset()
+    grouped = farm.demodulate_stream(sig, chunk_size=512, group=3)
+    assert grouped == loop == msgs
