@@ -40,11 +40,12 @@ def main():
     B = int(sys.argv[sys.argv.index("--batch") + 1]) \
         if "--batch" in sys.argv else 2048
     chunk_t = 4800          # 0.1 s of 48 kHz audio per step
-    # 10 s of audio timed: the chip is reached through a tunnel whose
-    # one-time dispatch latency (~28 ms) would otherwise be charged to
-    # the pipeline — dispatches overlap (wall = RTT + N*chunk), so a
-    # longer stream amortizes the artifact to <2% without changing
-    # what is measured (steady-state streaming demod at 0.1 s quanta).
+    # 40 s of audio timed per pass: the chip is reached through a
+    # tunnel whose one-time dispatch latency (~28 ms) would otherwise
+    # be charged to the pipeline — dispatches overlap
+    # (wall = RTT + N*chunk), so a longer stream amortizes the
+    # artifact below 1% without changing what is measured
+    # (steady-state streaming demod at 0.1 s quanta).
     timed_chunks = 400
     config = FSKConfig(baud_rate=300, mark_frequency=1270,
                        space_frequency=1070)
@@ -111,8 +112,8 @@ def main():
     state, _ = run_group(state, stacked, idx_groups[0])  # compile + warm
     jax.block_until_ready(state)
 
-    # four timed passes, keep the fastest: the chip is reached through a
-    # shared tunnel and single-pass walls show ±10% contention noise
+    # two timed 40 s passes, keep the fastest: the chip is shared and
+    # single-pass walls show ±10% tunnel-contention noise
     walls = []
     byte_counts = []
     for rep in range(2):

@@ -429,3 +429,37 @@ class TestStatusParity:
         assert st["demodulation_calls"] == 0
         assert st["total_samples_processed"] == 0
         assert st["received_bits_length"] == 0
+
+
+class TestDemodulateStreamGuards:
+    def test_group_below_one_rejected(self):
+        from webaudio_modem_tpu.models.farm import ModemFarm
+
+        farm = ModemFarm(DEFAULT_FSK_CONFIG, 2, donate=False)
+        sig = np.zeros((2, 1024), np.float32)
+        for bad in (0, -1):
+            with pytest.raises(ValueError):
+                farm.demodulate_stream(sig, chunk_size=512, group=bad)
+
+    def test_group_one_equals_loop(self):
+        from webaudio_modem_tpu.models.farm import ModemFarm
+
+        msgs = [b"G1", b"g1"]
+        farm = ModemFarm(DEFAULT_FSK_CONFIG, 2, donate=False)
+        sig = np.asarray(farm.modulate(msgs))
+        assert farm.demodulate_stream(sig, chunk_size=512,
+                                      group=1) == msgs
+
+    def test_donate_false_preserves_held_state(self):
+        # a donate=False farm must never invalidate caller-held state
+        # references (snapshot/rollback pattern), grouped path included
+        from webaudio_modem_tpu.models.farm import ModemFarm
+
+        msgs = [b"DS", b"ds"]
+        farm = ModemFarm(DEFAULT_FSK_CONFIG, 2, donate=False)
+        held = farm.state
+        sig = np.asarray(farm.modulate(msgs))
+        out = farm.demodulate_stream(sig, chunk_size=512, group=2)
+        assert out == msgs
+        # held buffers still alive and readable
+        assert np.asarray(held.agc_gain).shape == (2,)

@@ -70,3 +70,23 @@ class TestModemOverWav:
         assert rate == DEFAULT_FSK_CONFIG.sample_rate
         core.configure(DEFAULT_FSK_CONFIG)
         assert core.demodulate_data(samples) == data
+
+
+class TestRiffEdgeCases:
+    def test_odd_data_chunk_before_fmt(self, tmp_path):
+        # data chunk first, odd byte length: the word-alignment pad
+        # after it must be skipped or the fmt parse reads garbage
+        import struct
+
+        samples = bytes([128, 200, 55])            # 3 x 8-bit PCM
+        data_chunk = b"data" + struct.pack("<I", 3) + samples + b"\x00"
+        fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                          8000, 1, 8)
+        body = data_chunk + fmt_chunk
+        blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        p = tmp_path / "odd.wav"
+        p.write_bytes(blob)
+        x, rate = read_wav(p)
+        assert rate == 8000
+        assert len(x) == 3
+        np.testing.assert_allclose(x[0], 0.0, atol=1e-6)

@@ -72,15 +72,17 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _make_group_runner(ops, params, ds_phase: int, chunk_size: int):
+def _make_group_runner(ops, params, ds_phase: int, chunk_size: int,
+                       donate: bool):
     """Jitted scan over a [group, B, chunk] stack of frames with the
-    carried state donated — the per-chunk computation is exactly
-    demodulate_chunk's (the inner jitted step inlines into the trace).
-    Requires chunk_size % downsample_ratio == 0 so ds_phase is
-    loop-invariant."""
+    carried state donated (when the farm donates) — the per-chunk
+    computation is exactly demodulate_chunk's (the inner jitted step
+    inlines into the trace).  Requires chunk_size % downsample_ratio
+    == 0 so ds_phase is loop-invariant."""
     step = ops.make_demod_chunk(params, ds_phase, donate=False)
 
-    @functools.partial(jax.jit, donate_argnums=0)
+    @functools.partial(jax.jit,
+                       donate_argnums=(0,) if donate else ())
     def run(state, xs):
         def body(st, x):
             st, out = step(st, x)
@@ -187,13 +189,17 @@ class ModemFarm:
         B, T = samples.shape
         if B != self.batch:
             raise ValueError(f"expected batch {self.batch}, got {B}")
+        if group < 1:
+            raise ValueError(f"group must be >= 1, got {group}")
         collected = [bytearray() for _ in range(B)]
 
         aligned = chunk_size % self.params.downsample_ratio == 0
-        n_grouped = (T // (chunk_size * group)) * group if aligned else 0
+        n_grouped = (T // (chunk_size * group)) * group \
+            if aligned and group > 1 else 0
         if n_grouped:
             run = _make_group_runner(self._ops, self.params,
-                                     self._ds_phase, chunk_size)
+                                     self._ds_phase, chunk_size,
+                                     self._donate)
             for g0 in range(0, n_grouped, group):
                 lo = g0 * chunk_size
                 hi = (g0 + group) * chunk_size

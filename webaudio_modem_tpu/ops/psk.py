@@ -72,7 +72,7 @@ def modulate_batch(params: FSKParams, messages):
     lengths = {len(m) for m in messages}
     if len(lengths) != 1:
         raise ValueError("modulate_batch requires equal-length messages")
-    bits = np.stack([fsk_mod.frame_bits(params, m) for m in messages])
+    bits = fsk_mod.frame_bits_batch(params, [bytes(m) for m in messages])
     # differential encoding: bit 1 -> keep phase, bit 0 -> flip
     flips = (bits == 0).astype(np.int64)
     enc = np.cumsum(flips, axis=-1) % 2          # 0: phase 0, 1: phase pi

@@ -73,6 +73,8 @@ def read_wav(path):
                 width = bits // 8
             elif cid == b"data":
                 data = f.read(size)
+                if size & 1:          # chunks are word-aligned
+                    f.seek(1, 1)
             else:
                 f.seek(size + (size & 1), 1)  # chunks are word-aligned
             if data is not None and tag is not None:
