@@ -83,11 +83,10 @@ def test_framed_table_matches_direct():
             assert tuple(table[v]) == _framed_bits(v, cfg), (parity, v)
 
 
-def test_int_synth_matches_float64_tables():
-    # the on-device integer-phase synthesis must match the float64
-    # host-table path to float32 rounding (same phases mod 2*pi)
-    import jax.numpy as jnp
-
+def test_int_phase_tables_match_float64():
+    # the integer-arithmetic phase tables must match the float64 path
+    # to float32 rounding (same phases mod 2*pi), and synthesize
+    # near-identical signals
     from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
     from webaudio_modem_tpu.ops import fsk_mod
 
@@ -96,12 +95,19 @@ def test_int_synth_matches_float64_tables():
             baud_rate=baud, mark_frequency=mark, space_frequency=space))
         msgs = [b"Ab\x00\xff", b"\x55\x7e\x7e\x55"]
         bits = fsk_mod.frame_bits_batch(params, msgs)
-        offsets, omega = fsk_mod._phase_tables(params, bits)
+        off64, om64 = fsk_mod._phase_tables(params, bits)
+        off32, om32 = fsk_mod._phase_tables_int(params, bits)
+        # circular comparison: an exact-integer zero and a float64
+        # value infinitesimally below 2*pi are the same phase
+        d = np.abs(off32 - off64)
+        d = np.minimum(d, 2 * np.pi - d)
+        assert d.max() < 2e-4
+        np.testing.assert_allclose(om32, om64, rtol=1e-6)
         lead = params.samples_per_bit * 2
         trail = params.bits_per_byte * params.samples_per_bit
-        ref = fsk_mod._synth(offsets, omega, params.samples_per_bit,
+        ref = fsk_mod._synth(off64, om64, params.samples_per_bit,
                              (lead, trail))
-        fast = fsk_mod._synth_int(params, jnp.asarray(bits),
-                                  (lead, trail))
+        fast = fsk_mod._synth(off32, om32, params.samples_per_bit,
+                              (lead, trail))
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
-                                   atol=2e-5)
+                                   atol=5e-4)

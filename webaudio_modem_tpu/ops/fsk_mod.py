@@ -102,39 +102,32 @@ def _synth(offsets, omega, samples_per_bit: int, pad: Tuple[int, int]):
     return jnp.pad(sig, pad_widths)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _synth_int(params: FSKParams, bits, pad: Tuple[int, int]):
-    """Fully on-device synthesis for integer mark/space/sample-rate
-    configs (the practical case): only the [B, n_bits] int8 bit plane
-    crosses the host->device boundary.
+def _phase_tables_int(params: FSKParams,
+                      bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact integer-arithmetic phase tables for integer
+    mark/space/sample-rate configs (the practical case), emitted as
+    float32 so the host->device upload is half the float64 tables'.
 
-    The per-bit phase advance is 2*pi*(f*spb mod fs)/fs, so the phase
-    prefix sum is EXACT integer arithmetic mod fs (int32: n_bits*fs
-    stays < 2^31 for any realistic frame) — same values mod 2*pi as
-    the float64 host tables, without uploading them.
+    The per-bit phase advance is 2*pi*(f*spb mod fs)/fs, so the
+    exclusive phase prefix is EXACT int64 arithmetic mod fs — the same
+    values mod 2*pi as the float64 path, with no length limit.  (An
+    earlier fully-on-device int32 variant hit a pathological ~5-minute
+    XLA:TPU compile of the integer cumsum; the prefix is trivial host
+    work, so it stays here.)
     """
-    import jax.numpy as jnp
-
     spb = params.samples_per_bit
     fs = int(params.sample_rate)
     mark_step = int(params.mark_freq) * spb % fs
     space_step = int(params.space_freq) * spb % fs
-    two_pi = jnp.float32(2.0 * np.pi)
-
-    steps = jnp.where(bits == 1, jnp.int32(mark_step),
-                      jnp.int32(space_step))
-    acc = (jnp.cumsum(steps, axis=-1) - steps) % jnp.int32(fs)
-    offsets = acc.astype(jnp.float32) * (two_pi / fs)
-    omega = jnp.where(
-        bits == 1,
-        jnp.float32(2.0 * np.pi * int(params.mark_freq) / fs),
-        jnp.float32(2.0 * np.pi * int(params.space_freq) / fs))
-    k = jnp.arange(spb, dtype=jnp.float32)
-    sig = jnp.sin(offsets[..., None] + omega[..., None] * k)
-    sig = sig.reshape(*sig.shape[:-2], -1)
-    lead, trail = pad
-    pad_widths = [(0, 0)] * (sig.ndim - 1) + [(lead, trail)]
-    return jnp.pad(sig, pad_widths)
+    steps = np.where(bits == 1, np.int64(mark_step),
+                     np.int64(space_step))
+    acc = (np.cumsum(steps, axis=-1) - steps) % fs
+    two_pi = 2.0 * np.pi
+    offsets = (acc * (two_pi / fs)).astype(np.float32)
+    omega = np.where(bits == 1,
+                     np.float32(two_pi * int(params.mark_freq) / fs),
+                     np.float32(two_pi * int(params.space_freq) / fs))
+    return offsets, omega
 
 
 def _int_config(params: FSKParams) -> bool:
@@ -173,11 +166,8 @@ def modulate_batch(params: FSKParams, messages: Sequence[bytes]):
     total_bytes = bits.shape[-1] // params.bits_per_byte
     lead = params.samples_per_bit * 2 if total_bytes > 0 else 0
     trail = params.bits_per_byte * params.samples_per_bit
-    # integer-frequency configs synthesize fully on-device from the
-    # bit plane (the int32 phase prefix must not overflow: gate on
-    # n_bits * fs < 2^31, ~4.4 KB messages at 48 kHz)
-    if _int_config(params) and \
-            bits.shape[-1] * int(params.sample_rate) < 2 ** 31:
-        return _synth_int(params, bits, (lead, trail))
-    offsets, omega = _phase_tables(params, bits)
+    if _int_config(params):
+        offsets, omega = _phase_tables_int(params, bits)  # exact, f32
+    else:
+        offsets, omega = _phase_tables(params, bits)      # f64 fallback
     return _synth(offsets, omega, params.samples_per_bit, (lead, trail))
