@@ -29,13 +29,10 @@ from webaudio_modem_tpu.utils.trace import metrics  # noqa: E402
 
 
 def awgn(noise_power: float, seed: int = 0):
-    rng = np.random.RandomState(seed)
-    amp = np.sqrt(3.0 * noise_power)
+    # single AWGN model shared with the sim layer (sim/channels.py)
+    from webaudio_modem_tpu.sim import make_awgn_channel
 
-    def fn(frame):
-        return frame + amp * (rng.uniform(size=frame.shape) * 2 - 1)
-
-    return fn
+    return make_awgn_channel(noise_power, seed=seed)
 
 
 async def main() -> int:

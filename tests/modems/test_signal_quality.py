@@ -188,3 +188,43 @@ class TestPSKQuality:
         rx.demodulate_data(np.asarray(tx.modulate_data(b"psk quality")))
         assert rx.get_signal_quality().frequency_offset == \
             pytest.approx(15, abs=4.0)
+
+
+def test_quality_unaffected_by_chunk_boundary_near_sync():
+    # a sync firing within a bit period of a chunk END must not anchor
+    # its quality window at the truncated chunk (the true correlation
+    # peak may lie in the next chunk): on a clean signal, ber must stay
+    # 0 for EVERY split position around the sync point
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+    from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    sig = np.asarray(fsk_mod.modulate(params, b"QB"), np.float32)
+
+    # locate the fire position once (whole-signal pass)
+    state = fsk_demod.init_state(params, 1)
+    ratio = params.downsample_ratio
+    state, _ = fsk_demod.demod_chunk(params, 0, state,
+                                     jnp.asarray(sig[None, :]))
+    assert int(np.asarray(state.sync_count)[0]) == 1
+
+    # sweep split points across +-1.5 bit periods around the sync
+    spb = params.samples_per_bit
+    # sync happens roughly after lead + pattern bits
+    approx = (2 + len(params.pattern_bits)) * spb
+    bers = {}
+    for split in range(approx - spb, approx + spb // 2, ratio * 5):
+        if split <= 0 or split >= len(sig):
+            continue
+        st = fsk_demod.init_state(params, 1)
+        st, _ = fsk_demod.demod_chunk(params, 0, st,
+                                      jnp.asarray(sig[None, :split]))
+        st, _ = fsk_demod.demod_chunk(params, 0, st,
+                                      jnp.asarray(sig[None, split:]))
+        ber, freq, jit, eye = fsk_demod.quality_from_state(params, st)
+        bers[split] = float(ber[0])
+    assert bers, "no split positions tested"
+    bad = {s: b for s, b in bers.items() if b > 1e-6}
+    assert not bad, f"spurious BER at splits: {bad}"

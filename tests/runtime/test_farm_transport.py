@@ -15,13 +15,10 @@ from webaudio_modem_tpu.transports.xmodem import XModemTransport
 
 
 def awgn(noise_power: float, seed: int = 0):
-    rng = np.random.RandomState(seed)
-    amp = np.sqrt(3.0 * noise_power)
+    # single AWGN model shared with the sim layer (sim/channels.py)
+    from webaudio_modem_tpu.sim import make_awgn_channel
 
-    def fn(frame):
-        return frame + amp * (rng.uniform(size=frame.shape) * 2 - 1)
-
-    return fn
+    return make_awgn_channel(noise_power, seed=seed)
 
 
 async def _run_sessions(B, payloads, channel_fn=None, timeout_ms=60000,
@@ -248,3 +245,39 @@ async def test_farm_hub_on_device_mesh():
     finally:
         hub.stop()
         await pump
+
+
+async def test_reset_wakes_blocked_waiters():
+    # FarmDataChannel.reset must drop coroutines blocked in
+    # demodulate()/next_frame() with AbortError (QueueDataChannel /
+    # reference reset-rejects-pending contract)
+    import asyncio
+
+    from webaudio_modem_tpu.models.config import FSKConfig
+    from webaudio_modem_tpu.runtime.farm_channel import FarmLoopbackHub
+    from webaudio_modem_tpu.utils.abort import AbortError
+
+    hub = FarmLoopbackHub(FSKConfig(baud_rate=1200), batch=2,
+                          quantum=1024)
+    ch = hub.channel("a", 0)
+    waiter_b = asyncio.ensure_future(ch.demodulate())
+    waiter_f = asyncio.ensure_future(ch.next_frame())
+    await asyncio.sleep(0)          # let both block on their queues
+    await ch.reset()
+    for w in (waiter_b, waiter_f):
+        with pytest.raises(AbortError):
+            await w
+
+
+def test_unconsumed_channel_backlog_bounded():
+    # channels nobody consumes must not grow their queues forever
+    from webaudio_modem_tpu.models.config import FSKConfig
+    from webaudio_modem_tpu.runtime.farm_channel import (FarmDataChannel,
+                                                         FarmLoopbackHub)
+
+    hub = FarmLoopbackHub(FSKConfig(baud_rate=1200), batch=1,
+                          quantum=1024)
+    ch = hub.channel("a", 0)
+    for _ in range(FarmDataChannel.UNCONSUMED_BACKLOG + 500):
+        ch._deliver(b"x", [])
+    assert ch._bytes_q.qsize() <= FarmDataChannel.UNCONSUMED_BACKLOG

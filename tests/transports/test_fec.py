@@ -297,3 +297,47 @@ class TestSoftPhysicalLayer:
         assert out[5] is None                       # garbage channel
         good = sum(out[b] == payloads[b] for b in range(B) if b != 5)
         assert good >= B - 2                        # noisy but decodable
+
+
+class TestDecoderResyncRobustness:
+    def test_oversized_len_cap_resyncs(self):
+        # a decoder configured with a small max_payload treats a header
+        # advertising more as junk and keeps scanning
+        from webaudio_modem_tpu.transports.fec_frame import (FrameDecoder,
+                                                             FrameEncoder)
+
+        big = FrameEncoder.encode_frame(b"x" * 64)
+        good = FrameEncoder.encode_frame(b"ok")
+        dec = FrameDecoder(max_payload=16)
+        got = dec.process(big + good)
+        assert got == [b"ok"]
+        assert dec.headers_resynced >= 1
+
+    def test_lossless_resync_finds_frame_inside_phantom_body(self):
+        # corrupt-body resync must not discard the body span: a genuine
+        # frame that starts inside it is still decoded
+        from webaudio_modem_tpu.transports.fec_frame import (HEADER_CODED,
+                                                             FrameDecoder,
+                                                             FrameEncoder)
+
+        bad = bytearray(FrameEncoder.encode_frame(b"A" * 40))
+        inner = FrameEncoder.encode_frame(b"inner")
+        # splice the genuine frame INTO the bad frame's body region,
+        # then pad so the phantom body window fills and its CRC fails
+        splice_at = HEADER_CODED + 8
+        stream = bytes(bad[:splice_at]) + inner + b"\x00" * len(bad)
+        dec = FrameDecoder()
+        got = dec.process(stream)
+        assert got == [b"inner"]
+
+
+def test_soft_batch_short_stream_returns_none():
+    # decode_frames_batch on a stream shorter than one coded header
+    # span must return [None]*B, not crash indexing the soft stream
+    from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    params = FSKParams.from_config(FSKConfig(baud_rate=1200))
+    out = soft_fsk.decode_frames_batch(
+        params, np.zeros((4, 2000), np.float32), 8)
+    assert out == [None] * 4

@@ -733,13 +733,16 @@ def quality_window_update(params: FSKParams, state, ratios, softs,
 
     def _update(_):
         t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
-        has_fire = fire_t >= 0
+        dsb = jnp.int32(params.ds_samples_per_bit)
         # Anchor at the correlation PEAK near the fire: the state
         # machine fires at the FIRST quarter-bit threshold crossing, up
         # to ~a bit period before perfect pattern alignment; the peak
         # is the aligned position, making the stats comparable to the
-        # clean calibration.
-        dsb = jnp.int32(params.ds_samples_per_bit)
+        # clean calibration.  A fire within a bit period of the chunk
+        # END is skipped (stats retained): its true peak may lie in the
+        # NEXT chunk, and anchoring at a truncated window would report
+        # spurious bit errors / offset on a clean channel.
+        has_fire = (fire_t >= 0) & (fire_t + dsb <= jnp.int32(n_ds - 1))
         near = (t_idx >= fire_t[None, :] - dsb) & \
             (t_idx <= fire_t[None, :] + dsb)
         rnear = jnp.where(near, ratios, jnp.float32(-1.0))
@@ -972,6 +975,12 @@ def quality_from_state(params: FSKParams, state, delay_ds: int = 1,
 
     Returns numpy arrays [B]: (ber, frequency_offset_hz, phase_jitter,
     eye_opening).
+
+    NOTE: the first call for a given (params, family) lazily builds the
+    clean-signal calibration by running the CPU pipeline once
+    (_quality_calibration, lru-cached) — expect a one-time hitch of up
+    to a few hundred ms.  Latency-sensitive pollers should invoke this
+    once at configure time to warm the cache.
     The first three are differential measurements against a clean-signal
     calibration of the SAME config and pipeline (_quality_calibration),
     anchored at the sync-correlation peak of the last detected frame:

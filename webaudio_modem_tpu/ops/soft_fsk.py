@@ -156,6 +156,12 @@ def decode_frames_batch(params: FSKParams, samples,
     softs = softs.astype(np.float64)                   # [n_ds, B]
     n_ds = softs.shape[0]
 
+    ds = params.ds_samples_per_bit
+    if n_ds < HEADER_CODED_BITS * ds:
+        # stream too short to hold even one coded header span — the
+        # candidate index windows below would run past the soft stream
+        return [None] * B
+
     W = params.sync_window
     ext = jnp.concatenate(
         [jnp.zeros((W, B), jnp.float32), jnp.asarray(bits)], 0)

@@ -83,6 +83,13 @@ class FarmDataChannel(IDataChannel):
 
     supports_frames = True
 
+    # backlog bound while NO consumer is attached: bytes decoded before
+    # anyone asks are retained (the hub's auto-created views), but a
+    # channel that only ever decodes noise must not grow its queues
+    # without bound on a long-running hub — beyond this many queued
+    # items the oldest are dropped until a consumer attaches
+    UNCONSUMED_BACKLOG = 1024
+
     def __init__(self, hub: "FarmLoopbackHub", side: str, index: int):
         self._hub = hub
         self.side = side
@@ -93,6 +100,10 @@ class FarmDataChannel(IDataChannel):
         # the unused queue stops filling so long runs don't leak
         self._byte_consumer = False
         self._frame_consumer = False
+        # reset() drops blocked demodulate()/next_frame() waiters (same
+        # contract as QueueDataChannel.reset / the reference mock)
+        self._pending_gets: list = []
+        self._reset_gen = 0
 
     # -- IDataChannel ---------------------------------------------------
 
@@ -118,21 +129,32 @@ class FarmDataChannel(IDataChannel):
                 slot.queue.remove(entry)
             raise
 
+    async def _get(self, queue: asyncio.Queue, signal):
+        get_task = asyncio.ensure_future(queue.get())
+        self._pending_gets.append(get_task)
+        gen = self._reset_gen
+        try:
+            item = await race_abort(get_task, signal)
+        except asyncio.CancelledError:
+            if self._reset_gen != gen:
+                raise AbortError("DataChannel reset")
+            raise  # genuine external cancellation must propagate
+        finally:
+            if get_task in self._pending_gets:
+                self._pending_gets.remove(get_task)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
     async def demodulate(self,
                          signal: Optional[AbortSignal] = None) -> bytes:
         self._byte_consumer = True
-        data = await race_abort(self._bytes_q.get(), signal)
-        if isinstance(data, Exception):
-            raise data
-        return data
+        return await self._get(self._bytes_q, signal)
 
     async def next_frame(self,
                          signal: Optional[AbortSignal] = None) -> Frame:
         self._frame_consumer = True
-        item = await race_abort(self._frames_q.get(), signal)
-        if isinstance(item, Exception):
-            raise item
-        return item
+        return await self._get(self._frames_q, signal)
 
     def flush_frames(self) -> None:
         """Drop queued frames and any partially assembled wire bytes —
@@ -148,6 +170,15 @@ class FarmDataChannel(IDataChannel):
         for q in (self._bytes_q, self._frames_q):
             while not q.empty():
                 q.get_nowait()
+        # drop blocked demodulate()/next_frame() waiters — they raise
+        # AbortError, matching QueueDataChannel.reset and the
+        # reference's reset-rejects-pending contract
+        # (webaudio-data-channel.ts:164-174)
+        self._reset_gen += 1
+        pending, self._pending_gets = self._pending_gets, []
+        for t in pending:
+            if not t.done():
+                t.cancel()
         self._hub._deframer(self.side).reset(self.index)
 
     def is_ready(self) -> bool:
@@ -161,6 +192,7 @@ class FarmDataChannel(IDataChannel):
         # hub leaks one queue per channel forever
         frame_only = self._frame_consumer and not self._byte_consumer
         byte_only = self._byte_consumer and not self._frame_consumer
+        unconsumed = not (self._byte_consumer or self._frame_consumer)
         if piece and not frame_only:
             self._bytes_q.put_nowait(piece)
         elif frame_only:
@@ -172,6 +204,11 @@ class FarmDataChannel(IDataChannel):
         elif byte_only:
             while not self._frames_q.empty():
                 self._frames_q.get_nowait()
+        if unconsumed:
+            # no consumer yet: retain a bounded backlog, drop oldest
+            for q in (self._bytes_q, self._frames_q):
+                while q.qsize() > self.UNCONSUMED_BACKLOG:
+                    q.get_nowait()
 
 
 class FarmLoopbackHub:

@@ -65,9 +65,19 @@ class FrameDecoder:
     ``on_error``.
     """
 
-    def __init__(self, on_error: Optional[Callable[[str], None]] = None):
+    def __init__(self, on_error: Optional[Callable[[str], None]] = None,
+                 max_payload: int = MAX_PAYLOAD):
         self._buf = bytearray()
         self._on_error = on_error
+        # Upper bound on a believable header LEN: a junk byte window
+        # has ~2^-16 odds of passing the header CRC by chance, and a
+        # large phantom LEN stalls decoding until its coded-body span
+        # arrives (the resync below is LOSSLESS, so nothing is dropped
+        # — but on a stream that ends early the tail stays undecoded).
+        # Deployments with small frames should pass their real bound to
+        # cap that stall; the default accepts anything the encoder can
+        # produce so legitimate frames are never resynced past.
+        self._max_payload = max_payload
         # decoded-but-unvalidated header state
         self._body_coded_len: Optional[int] = None
         self._payload_len = 0
@@ -94,20 +104,25 @@ class FrameDecoder:
                                           HEADER_PLAIN)
                 ln = (header[0] << 8) | header[1]
                 crc = (header[2] << 8) | header[3]
-                if CRC16.calculate(header[:2]) != crc:
-                    # not a frame start — slide one byte and resync
-                    # (the memo's boundary detection under junk)
+                if CRC16.calculate(header[:2]) != crc or \
+                        ln > self._max_payload:
+                    # not a believable frame start — slide one byte and
+                    # resync (the memo's boundary detection under junk)
                     del self._buf[0]
                     self.headers_resynced += 1
                     continue
-                del self._buf[:HEADER_CODED]
+                # header bytes stay in the buffer until the body
+                # validates: if this "header" was junk that passed the
+                # 16-bit CRC by chance, a genuine frame may start
+                # INSIDE the phantom body window, and consuming it here
+                # would lose that frame
                 self._payload_len = ln
                 self._body_coded_len = fec.coded_length(ln + 2)
-            if len(self._buf) < self._body_coded_len:
+            total = HEADER_CODED + self._body_coded_len
+            if len(self._buf) < total:
                 return out
-            body = fec.decode_bytes(bytes(self._buf[:self._body_coded_len]),
+            body = fec.decode_bytes(bytes(self._buf[HEADER_CODED:total]),
                                     self._payload_len + 2)
-            del self._buf[:self._body_coded_len]
             self._body_coded_len = None
             payload = body[:self._payload_len]
             crc = (body[self._payload_len] << 8) | body[self._payload_len + 1]
@@ -115,6 +130,11 @@ class FrameDecoder:
                 self.bodies_dropped += 1
                 if self._on_error is not None:
                     self._on_error("frame body CRC failed after FEC")
+                # lossless resync: slide one byte past the header START
+                # and re-scan — nothing beyond the slide is discarded
+                del self._buf[0]
+                self.headers_resynced += 1
                 continue
+            del self._buf[:total]
             self.frames_decoded += 1
             out.append(payload)
