@@ -341,3 +341,24 @@ def test_soft_batch_short_stream_returns_none():
     out = soft_fsk.decode_frames_batch(
         params, np.zeros((4, 2000), np.float32), 8)
     assert out == [None] * 4
+
+
+def test_decoder_fuzz_never_crashes_and_recovers():
+    # arbitrary junk between genuine frames: the decoder must never
+    # raise, never deadlock the scan, and still decode every genuine
+    # frame that is followed by enough stream to flush phantom windows
+    rng = np.random.RandomState(11)
+    dec = FrameDecoder(max_payload=256)
+    decoded = []
+    expected = []
+    for i in range(12):
+        junk = bytes(rng.randint(0, 256, rng.randint(0, 40),
+                                 dtype=np.uint8))
+        payload = bytes(rng.randint(0, 256, rng.randint(1, 64),
+                                    dtype=np.uint8))
+        expected.append(payload)
+        decoded += dec.process(junk)
+        decoded += dec.process(FrameEncoder.encode_frame(payload))
+    # flush: enough trailing zeros to drain any phantom body window
+    decoded += dec.process(b"\x00" * FrameEncoder.coded_frame_length(258))
+    assert decoded == expected

@@ -178,13 +178,17 @@ def decode_frames_batch(params: FSKParams, samples,
         peak_ok[:, None]
     starts_c = np.clip(starts, 0, max(n_ds - h_bits * ds, 0))
 
-    # header LLR windows for every (channel, offset) candidate
-    idx = (starts_c[:, :, None, None]
-           + (np.arange(h_bits) * ds)[None, None, :, None]
-           + np.arange(ds)[None, None, None, :])       # [B, n_off, h, ds]
-    ch = np.arange(B)[:, None, None, None]
+    # header LLR windows for every (channel, offset) candidate.  The
+    # ds-wide sums come from one float64 cumsum so the gather index
+    # arrays are [B, n_off, h] instead of [B, n_off, h, ds] — the
+    # explicit per-sample gather cost ~GBs of host memory at farm B.
+    csum = np.concatenate(
+        [np.zeros((1, B)), np.cumsum(softs, axis=0)], axis=0)
+    pos = (starts_c[:, :, None]
+           + (np.arange(h_bits) * ds)[None, None, :])  # [B, n_off, h]
+    ch = np.arange(B)[:, None, None]
     h_llr = np.float32(params.polarity) * \
-        softs[idx, ch].sum(axis=-1)                    # [B, n_off, h]
+        (csum[pos + ds, ch] - csum[pos, ch])           # [B, n_off, h]
     headers = fec.viterbi_decode_soft(
         h_llr.reshape(B * n_off, h_bits),
         8 * HEADER_PLAIN).reshape(B, n_off, -1)
@@ -213,11 +217,10 @@ def decode_frames_batch(params: FSKParams, samples,
         return results
     sel = np.nonzero(ok)[0]
     b_starts = starts[sel, chosen[sel]] + h_bits * ds
-    idx = (b_starts[:, None, None]
-           + (np.arange(body_bits) * ds)[None, :, None]
-           + np.arange(ds)[None, None, :])             # [k, body, ds]
+    pos = (b_starts[:, None]
+           + (np.arange(body_bits) * ds)[None, :])     # [k, body]
     b_llr = np.float32(params.polarity) * \
-        softs[idx, sel[:, None, None]].sum(axis=-1)
+        (csum[pos + ds, sel[:, None]] - csum[pos, sel[:, None]])
     bodies = fec.viterbi_decode_soft(b_llr, 8 * (payload_len + 2))
     for i, b in enumerate(sel):
         body = fec.bits_to_bytes(bodies[i])
