@@ -143,7 +143,11 @@ def stage_d(params: FSKParams, state, bits, amps, ratios, means,
                 state.byte_cur, state.pos)
     ints, flts = pack_carry(carry_in)
     if T_blk_groups == 0:
-        if B <= 4096:
+        # slope-calibrated on v5e: bigger blocks amortize the pipeline
+        # at the B=2048 sweet spot; 4096 stays at 64 (VMEM)
+        if B <= 2048:
+            T_blk_groups = 256
+        elif B <= 4096:
             T_blk_groups = 64
         else:
             T_blk_groups = max(24 * 8192 // B, 8)
@@ -339,7 +343,11 @@ def stage_d_compact(params: FSKParams, state, bits, amps, ratios, means,
                 state.byte_cur, state.pos)
     ints, flts = pack_carry(carry_in)
     if T_blk_groups == 0:
-        if B <= 4096:
+        # slope-calibrated on v5e: bigger blocks amortize the pipeline
+        # at the B=2048 sweet spot; 4096 stays at 64 (VMEM)
+        if B <= 2048:
+            T_blk_groups = 256
+        elif B <= 4096:
             T_blk_groups = 64
         else:
             T_blk_groups = max(24 * 8192 // B, 8)
