@@ -60,11 +60,19 @@ def state_to_arrays(state) -> dict:
 def save_state(path_or_file, state, config, ds_phase: int = 0) -> None:
     """Snapshot (state pytree, config, ds_phase) for any model family."""
     arrays = state_to_arrays(state)
+    # npz cannot represent bfloat16 (saved as void, unreadable) — store
+    # such leaves as uint16 bit patterns and record which to view back
+    bf16_leaves = []
+    for k, a in list(arrays.items()):
+        if a.dtype == np.dtype(jax.numpy.bfloat16):
+            arrays[k] = a.view(np.uint16)
+            bf16_leaves.append(k)
     meta = {
         "family": _family_of(config),
         "config": dataclasses.asdict(config),
         "ds_phase": ds_phase,
         "n_leaves": len(arrays),
+        "bf16_leaves": bf16_leaves,
     }
     np.savez(path_or_file, __meta__=np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8), **arrays)
@@ -91,7 +99,11 @@ def load_state(path_or_file, mesh=None) -> Tuple[object, object, int]:
             raise ValueError(
                 f"checkpoint leaf-count mismatch: {meta['n_leaves']} vs "
                 f"{len(leaves)} — family/state layout changed?")
-        restored = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+        bf16 = set(meta.get("bf16_leaves", ()))
+        restored = [
+            data[f"leaf_{i}"].view(np.dtype(jax.numpy.bfloat16))
+            if f"leaf_{i}" in bf16 else data[f"leaf_{i}"]
+            for i in range(meta["n_leaves"])]
         for ref, got in zip(leaves, restored):
             if ref.shape != got.shape:
                 raise ValueError(

@@ -94,7 +94,7 @@ class DemodState(NamedTuple):
     # stage C — carried windows + fill counters.  Time-major [T, B]:
     # channels ride the 128-wide lane axis, time the sublane axis, so
     # window shifts and cumsums never transpose.
-    bit_tail: jax.Array        # f32 [W, B]  last W sliced bits
+    bit_tail: jax.Array        # bf16 [W, B]  last W sliced bits (0/1)
     amp_tail: jax.Array        # f32 [A, B]  last A amplitudes
     bit_fill: jax.Array        # i32 [B]  bits seen since configure/reset
     amp_fill: jax.Array        # i32 [B]  amps seen since configure
@@ -144,7 +144,7 @@ def init_state(params: FSKParams, batch: int = 1) -> DemodState:
         iq_i=biq(), iq_q=biq(),
         ds_iacc=z(), ds_qacc=z(),
         last_phase=z(), post=biq(),
-        bit_tail=jnp.zeros((params.sync_window, batch), jnp.float32),
+        bit_tail=jnp.zeros((params.sync_window, batch), jnp.bfloat16),
         amp_tail=jnp.zeros((params.amp_window, batch), jnp.float32),
         bit_fill=zi(), amp_fill=zi(),
         started=zb(), counter=zi(), sil=zi(),
@@ -316,14 +316,15 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
                 acc_i = acc_i + fi
                 acc_q = acc_q + fq
             empty = jnp.zeros((0, B), x.dtype)
-            return fr, dsc, acc_i, acc_q, empty, empty, empty
+            return (fr, dsc, acc_i, acc_q,
+                    jnp.zeros((0, B), jnp.bfloat16), empty, empty)
         for t in range(need):
             fr, fi, fq = _full_rate_step(params, fr, xT[t])
             acc_i = acc_i + fi
             acc_q = acc_q + fq
         dsc, bit, amp, soft = _ds_decision(params, dsc,
                                            acc_i / ratio, acc_q / ratio)
-        bits_parts.append(bit[None, :])
+        bits_parts.append(bit.astype(jnp.bfloat16)[None, :])
         amps_parts.append(amp[None, :])
         soft_parts.append(soft[None, :])
         pos = need
@@ -359,7 +360,7 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
             return carry, (jnp.stack(bs), jnp.stack(as_), jnp.stack(ss))
 
         (fr, dsc), (bm, am, sm) = jax.lax.scan(body, (fr, dsc), xs)
-        bits_parts.append(bm.reshape(main, B))
+        bits_parts.append(bm.reshape(main, B).astype(jnp.bfloat16))
         amps_parts.append(am.reshape(main, B))
         soft_parts.append(sm.reshape(main, B))
         pos += main * ratio
@@ -367,7 +368,7 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     for _ in range(n_groups - main):  # remainder groups, inlined
         group = tuple(xT[pos + r] for r in range(ratio))
         (fr, dsc), bit, amp, soft = _group_step(params, (fr, dsc), group)
-        bits_parts.append(bit[None, :])
+        bits_parts.append(bit.astype(jnp.bfloat16)[None, :])
         amps_parts.append(amp[None, :])
         soft_parts.append(soft[None, :])
         pos += ratio
@@ -385,7 +386,8 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
         amps = jnp.concatenate(amps_parts, 0)
         softs = jnp.concatenate(soft_parts, 0)
     else:
-        bits = amps = softs = jnp.zeros((0, B), x.dtype)
+        bits = jnp.zeros((0, B), jnp.bfloat16)
+        amps = softs = jnp.zeros((0, B), x.dtype)
     return fr, dsc, acc_i, acc_q, bits, amps, softs
 
 
@@ -528,6 +530,8 @@ def _sync_ratios_cumsum(params: FSKParams, ext_bits):
     n_pat = len(params.pattern_bits)
     W = params.sync_window
     n_ds = ext_bits.shape[0] - W
+    # exactness requires f32 accumulation (bit planes may be bf16)
+    ext_bits = ext_bits.astype(jnp.float32)
 
     csum = jnp.cumsum(
         jnp.concatenate([jnp.zeros_like(ext_bits[:1]), ext_bits], 0),
@@ -966,7 +970,9 @@ def soft_stream(params: FSKParams, samples, state: DemodState = None,
         state = init_state(params, batch=samples.shape[0])
     _, _, _, _, bits, amps, softs = _sequential_stage(
         params, ds_phase, state, samples)
-    return (np.asarray(bits), np.asarray(amps), np.asarray(softs))
+    # bits ride bf16 internally; the public surface stays float32
+    return (np.asarray(bits.astype(jnp.float32)), np.asarray(amps),
+            np.asarray(softs))
 
 
 def quality_from_state(params: FSKParams, state, delay_ds: int = 1,

@@ -96,7 +96,10 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
             bits_u.append(bit)
             amps_u.append(amp)
             softs_u.append(soft)
-        bits_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(bits_u)
+        # bits are 0/1 — exact in bf16, halving the plane every
+        # downstream stage (sync, framing, tail) reads
+        bits_ref[pl.ds(j * UNROLL, UNROLL)] = \
+            jnp.stack(bits_u).astype(jnp.bfloat16)
         amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
         softs_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(softs_u)
         return carry
@@ -107,7 +110,7 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
         group = tuple(x_ref[i * ratio + r] for r in range(ratio))
         carry, bit, amp, soft = _group_step(params, carry, group,
                                             atan2=tpu_atan2)
-        bits_ref[i] = bit
+        bits_ref[i] = bit.astype(jnp.bfloat16)
         amps_ref[i] = amp
         softs_ref[i] = soft
         return carry
@@ -141,7 +144,7 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
 
     kernel = functools.partial(_kernel, params, n_groups, gpb)
     out_shape = (
-        jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.bfloat16),
         jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_t * gpb, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((N_STATE, rows, LANES), jnp.float32),

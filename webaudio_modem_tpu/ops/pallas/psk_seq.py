@@ -102,7 +102,8 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
             bits_u.append(bit)
             amps_u.append(amp)
             softs_u.append(soft)
-        bits_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(bits_u)
+        bits_ref[pl.ds(j * UNROLL, UNROLL)] = \
+            jnp.stack(bits_u).astype(jnp.bfloat16)
         amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
         softs_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(softs_u)
         return fr
@@ -112,7 +113,7 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
     def body_tail(i, fr):
         samples = tuple(x_ref[i * ratio + r] for r in range(ratio))
         fr, bit, amp, soft = group(fr, i, samples)
-        bits_ref[i] = bit
+        bits_ref[i] = bit.astype(jnp.bfloat16)
         amps_ref[i] = amp
         softs_ref[i] = soft
         return fr
@@ -157,7 +158,9 @@ def _psk_main_call(params: FSKParams, n_groups: int, T_blk: int,
         in_specs=[stream(T_blk), whole(n_packed)],
         out_specs=(stream(gpb), stream(gpb), stream(gpb),
                    whole(n_packed)),
-        out_shape=(plane(n_t * gpb), plane(n_t * gpb), plane(n_t * gpb),
+        out_shape=(jax.ShapeDtypeStruct((n_t * gpb, rows, LANES),
+                                        jnp.bfloat16),
+                   plane(n_t * gpb), plane(n_t * gpb),
                    plane(n_packed)),
         scratch_shapes=[
             pltpu.VMEM((n_packed, rows, LANES), jnp.float32)],

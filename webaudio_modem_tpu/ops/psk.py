@@ -143,7 +143,7 @@ def init_state(params: FSKParams, batch: int = 1) -> PSKDemodState:
         zbuf_i=jnp.zeros((D, batch), jnp.float32),
         zbuf_q=jnp.zeros((D, batch), jnp.float32),
         zidx=jnp.zeros((), jnp.int32),
-        bit_tail=jnp.zeros((params.sync_window, batch), jnp.float32),
+        bit_tail=jnp.zeros((params.sync_window, batch), jnp.bfloat16),
         amp_tail=jnp.zeros((params.amp_window, batch), jnp.float32),
         bit_fill=zi(), amp_fill=zi(),
         started=jnp.zeros((batch,), bool), counter=zi(), sil=zi(),
@@ -224,14 +224,15 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
                 acc_i = acc_i + fi
                 acc_q = acc_q + fq
             empty = jnp.zeros((0, B), x.dtype)
-            return fr, dsc, acc_i, acc_q, empty, empty, empty
+            return (fr, dsc, acc_i, acc_q,
+                    jnp.zeros((0, B), jnp.bfloat16), empty, empty)
         for t in range(need):
             fr, fi, fq = _fd._full_rate_step(params, fr, xT[t])
             acc_i = acc_i + fi
             acc_q = acc_q + fq
         dsc, bit, amp, soft = _psk_decision(params, dsc, acc_i / ratio,
                                             acc_q / ratio)
-        bits_parts.append(bit[None, :])
+        bits_parts.append(bit.astype(jnp.bfloat16)[None, :])
         amps_parts.append(amp[None, :])
         soft_parts.append(soft[None, :])
         pos = need
@@ -268,7 +269,7 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
             return carry, (jnp.stack(bs), jnp.stack(as_), jnp.stack(ss))
 
         (fr, dsc), (bm, am, sm) = jax.lax.scan(body, (fr, dsc), xs)
-        bits_parts.append(bm.reshape(main, B))
+        bits_parts.append(bm.reshape(main, B).astype(jnp.bfloat16))
         amps_parts.append(am.reshape(main, B))
         soft_parts.append(sm.reshape(main, B))
         pos += main * ratio
@@ -277,7 +278,7 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
         group = tuple(xT[pos + r] for r in range(ratio))
         (fr, dsc), bit, amp, soft = _psk_group_step(params, (fr, dsc),
                                                     group)
-        bits_parts.append(bit[None, :])
+        bits_parts.append(bit.astype(jnp.bfloat16)[None, :])
         amps_parts.append(amp[None, :])
         soft_parts.append(soft[None, :])
         pos += ratio
@@ -295,7 +296,8 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
         amps = jnp.concatenate(amps_parts, 0)
         softs = jnp.concatenate(soft_parts, 0)
     else:
-        bits = amps = softs = jnp.zeros((0, B), x.dtype)
+        bits = jnp.zeros((0, B), jnp.bfloat16)
+        amps = softs = jnp.zeros((0, B), x.dtype)
     return fr, dsc, acc_i, acc_q, bits, amps, softs
 
 
