@@ -20,8 +20,6 @@ from webaudio_modem_tpu.utils.platform import ensure_env_platform  # noqa: E402
 
 ensure_env_platform()
 
-import numpy as np  # noqa: E402
-
 from webaudio_modem_tpu.models.config import FSKConfig  # noqa: E402
 from webaudio_modem_tpu.runtime.farm_channel import FarmLoopbackHub  # noqa: E402
 from webaudio_modem_tpu.transports.xmodem import XModemTransport  # noqa: E402

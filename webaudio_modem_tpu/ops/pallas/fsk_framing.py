@@ -129,7 +129,9 @@ def _stage_d_call(params: FSKParams, n_ds: int, gpb: int, interpret: bool,
 def stage_d(params: FSKParams, state, bits, amps, ratios, means,
             gate_fill, T_blk_groups: int = 0, interpret: bool = False):
     # T_blk_groups sizes VMEM: 5 input streams + 1 output are double-
-    # buffered per block; 64 groups * (B/128) rows * 128 lanes * 4 B
+    # buffered per block (measured on v5e: 256-group blocks fit and
+    # run fastest at B<=2048; 64 at B=4096); 64 groups * (B/128) rows
+    # * 128 lanes * 4 B
     # * 6 streams * 2 ≈ 6 MB at B=4096 — inside the 16 MB budget, and
     # halved per batch doubling beyond 4096.
     """Pallas stage-D; same contract as fsk_demod._stage_d.

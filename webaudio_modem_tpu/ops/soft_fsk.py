@@ -93,6 +93,7 @@ def decode_frame_signal(params: FSKParams, samples,
     softs = softs[:, 0].astype(np.float64)
 
     # 相関法: block-sum pattern correlation over the sliced bits
+    ds = params.ds_samples_per_bit
     W = params.sync_window
     ext = jnp.concatenate(
         [jnp.zeros((W, 1), jnp.float32), jnp.asarray(bits)[:, None]], 0)
@@ -100,7 +101,6 @@ def decode_frame_signal(params: FSKParams, samples,
     order = np.argsort(ratios)[::-1]
     threshold = params.config.sync_threshold
 
-    ds = params.ds_samples_per_bit
     for t_peak in order[:8]:            # a few best sync candidates
         if ratios[t_peak] <= threshold:
             break
@@ -169,7 +169,6 @@ def decode_frames_batch(params: FSKParams, samples,
     t_peak = ratios.argmax(axis=0)                     # [B]
     peak_ok = ratios[t_peak, np.arange(B)] > params.config.sync_threshold
 
-    ds = params.ds_samples_per_bit
     offsets = np.arange(-ds - ds // 4, ds // 4 + 1)    # [n_off]
     n_off = len(offsets)
     h_bits = HEADER_CODED_BITS
