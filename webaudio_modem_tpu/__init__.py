@@ -22,7 +22,7 @@ Layer map (mirrors reference docs/architecture.md:19-59):
   sim             channel simulators: AWGN, attenuation, DC, mixing
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from webaudio_modem_tpu.core import (  # noqa: F401
     Event,
