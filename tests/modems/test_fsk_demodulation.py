@@ -463,3 +463,24 @@ class TestDemodulateStreamGuards:
         assert out == msgs
         # held buffers still alive and readable
         assert np.asarray(held.agc_gain).shape == (2,)
+
+
+class TestDeterminism:
+    def test_repeated_runs_bit_identical(self):
+        # reference fsk-demodulation.node.test.ts:755-790 asserts
+        # run-to-run determinism; here the carried STATE must also be
+        # bit-identical, not just the decoded bytes
+        import jax
+
+        from webaudio_modem_tpu.models.farm import ModemFarm
+
+        msgs = [b"D1", b"d2", b"\x00\xff"]
+        runs = []
+        for _ in range(2):
+            farm = ModemFarm(DEFAULT_FSK_CONFIG, 3, donate=False)
+            sig = np.asarray(farm.modulate(msgs))
+            out = farm.demodulate(sig, chunk_size=777)
+            runs.append((out, jax.tree.leaves(farm.state)))
+        assert runs[0][0] == runs[1][0] == msgs
+        for a, b in zip(runs[0][1], runs[1][1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
