@@ -2,7 +2,6 @@
 fsk-demodulation.node.test.ts:792-852): two independent cores
 modulating/demodulating interleaved must not share state."""
 
-import numpy as np
 
 from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKConfig
 from webaudio_modem_tpu.models.fsk import FSKCore

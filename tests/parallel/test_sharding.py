@@ -5,7 +5,7 @@ import pytest
 
 import jax
 
-from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKConfig
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
 from webaudio_modem_tpu.models.farm import ModemFarm
 from webaudio_modem_tpu.parallel.sharding import (channel_sharding,
                                                   make_mesh, shard_state)

@@ -3,7 +3,6 @@ memo (soft-decision + convolutional FEC + framing) implemented and
 verified."""
 
 import numpy as np
-import pytest
 
 from webaudio_modem_tpu.ops import fec
 from webaudio_modem_tpu.transports.fec_frame import (FrameDecoder,
