@@ -588,83 +588,92 @@ def _d_step(params: FSKParams, carry, inp):
     stop_pos = jnp.int32(params.stop_bit_position)
     parity_on = params.config.parity != "none"
 
-    if True:  # keep the original body's indentation
-        # ``started`` is carried as int32 (0/1): Mosaic cannot lower
-        # select_n on i1 vectors (i8->i1 truncation error), and the lax
-        # path is indifferent.
-        (started_i, counter, sil, thr, accum, count, bsc, nxt,
-         byte_cur, pos) = carry
-        started = started_i > 0
-        bit, amp, ratio, mean, gate = inp
-        bit_i = bit.astype(jnp.int32)
+    # ``started`` is carried as int32 (0/1): Mosaic cannot lower
+    # select_n on i1 vectors (i8->i1 truncation error), and the lax
+    # path is indifferent.
+    (started_i, counter, sil, thr, accum, count, bsc, nxt,
+     byte_cur, pos) = carry
+    started = started_i > 0
+    bit, amp, ratio, mean, gate = inp
+    bit_i = bit.astype(jnp.int32)
 
-        counter1 = counter + 1
-        # silence EOD (fsk.ts:284-295)
-        is_sil = amp < thr
-        sil1 = jnp.where(is_sil, sil + 1, jnp.int32(0))
-        eod = is_sil & (sil1.astype(jnp.float32) >= eod_after)
-        alive = ~eod
+    # The reference's float64 JS counter never wraps in practice;
+    # an int32 would after ~2^31 steps (~25 h of 24 kHz ds stream
+    # with no reset), and a raw wrap would shift the quarter-bit
+    # phase of the sync checks.  The counter's only modular use is
+    # (% quarter), so reduce it at the largest multiple of quarter
+    # below 2^30 — phase-exact forever (the observable counter
+    # diverges from the reference only past 2^30 steps, ~12 h).
+    wrap = jnp.int32((2 ** 30 // params.quarter_bit)
+                     * params.quarter_bit)
+    counter1 = counter + 1
+    counter1 = jnp.where(counter1 >= wrap, counter1 - wrap, counter1)
+    # silence EOD (fsk.ts:284-295)
+    is_sil = amp < thr
+    sil1 = jnp.where(is_sil, sil + 1, jnp.int32(0))
+    eod = is_sil & (sil1.astype(jnp.float32) >= eod_after)
+    alive = ~eod
 
-        # pre-sync: pattern check (fsk.ts:297-327)
-        pre = alive & ~started
-        can = pre & gate & (counter1 % quarter == 0)
-        fire = can & (ratio > sync_thr)
+    # pre-sync: pattern check (fsk.ts:297-327)
+    pre = alive & ~started
+    can = pre & gate & (counter1 % quarter == 0)
+    fire = can & (ratio > sync_thr)
 
-        # post-sync: majority-vote bit accumulation (fsk.ts:330-341)
-        post = alive & started
-        accum1 = accum + bit_i
-        count1 = count + 1
-        bsc1 = bsc + 1
-        decide = post & (bsc1 >= nxt)
-        b = (2 * accum1) > count1          # bitAccumulator > count/2
+    # post-sync: majority-vote bit accumulation (fsk.ts:330-341)
+    post = alive & started
+    accum1 = accum + bit_i
+    count1 = count + 1
+    bsc1 = bsc + 1
+    decide = post & (bsc1 >= nxt)
+    b = (2 * accum1) > count1          # bitAccumulator > count/2
 
-        # UART byte assembly (fsk.ts:346-375)
-        start_fail = decide & (pos == 0) & b
-        is_data = (pos >= 1) & (pos <= 8)
-        is_parity = parity_on & (pos == 9)
-        is_stop = pos == stop_pos
-        stop_fail = decide & is_stop & ~b
-        emit = decide & is_stop & b
-        bad = decide & ~((pos == 0) | is_data | is_parity | is_stop)
-        data_write = decide & is_data
-        shift = jnp.clip(8 - pos, 0, 8)  # masked when not is_data
-        byte1 = jnp.where(
-            data_write,
-            byte_cur | jnp.left_shift(b.astype(jnp.int32), shift),
-            byte_cur)
+    # UART byte assembly (fsk.ts:346-375)
+    start_fail = decide & (pos == 0) & b
+    is_data = (pos >= 1) & (pos <= 8)
+    is_parity = parity_on & (pos == 9)
+    is_stop = pos == stop_pos
+    stop_fail = decide & is_stop & ~b
+    emit = decide & is_stop & b
+    bad = decide & ~((pos == 0) | is_data | is_parity | is_stop)
+    data_write = decide & is_data
+    shift = jnp.clip(8 - pos, 0, 8)  # masked when not is_data
+    byte1 = jnp.where(
+        data_write,
+        byte_cur | jnp.left_shift(b.astype(jnp.int32), shift),
+        byte_cur)
 
-        reset_full = eod | start_fail          # resetState (fsk.ts:175)
-        drop_frame = stop_fail | bad           # frame.started = false only
+    reset_full = eod | start_fail          # resetState (fsk.ts:175)
+    drop_frame = stop_fail | bad           # frame.started = false only
 
-        started2 = jnp.where(reset_full | drop_frame, jnp.int32(0),
-                             jnp.where(fire, jnp.int32(1), started_i))
-        counter2 = jnp.where(reset_full, jnp.int32(0), counter1)
-        sil2 = jnp.where(reset_full, jnp.int32(0), sil1)
-        thr2 = jnp.where(fire, mean * jnp.float32(0.1), thr)
-        clear = reset_full | fire
-        post_keep = post & ~reset_full
-        accum2 = jnp.where(clear, 0,
-                           jnp.where(post_keep,
-                                     jnp.where(decide, 0, accum1), accum))
-        count2 = jnp.where(clear, 0,
-                           jnp.where(post_keep,
-                                     jnp.where(decide, 0, count1), count))
-        bsc2 = jnp.where(clear, 0, jnp.where(post_keep, bsc1, bsc))
-        nxt2 = jnp.where(clear, 0,
-                         jnp.where(post_keep & decide, nxt + ds_per_bit,
-                                   nxt))
-        ok_advance = decide & ~(start_fail | stop_fail | bad)
-        byte2 = jnp.where(clear, 0,
-                          jnp.where(emit, 0,
-                                    jnp.where(data_write, byte1, byte_cur)))
-        pos2 = jnp.where(clear, 0,
-                         jnp.where(emit, 0,
-                                   jnp.where(ok_advance, pos + 1, pos)))
+    started2 = jnp.where(reset_full | drop_frame, jnp.int32(0),
+                         jnp.where(fire, jnp.int32(1), started_i))
+    counter2 = jnp.where(reset_full, jnp.int32(0), counter1)
+    sil2 = jnp.where(reset_full, jnp.int32(0), sil1)
+    thr2 = jnp.where(fire, mean * jnp.float32(0.1), thr)
+    clear = reset_full | fire
+    post_keep = post & ~reset_full
+    accum2 = jnp.where(clear, 0,
+                       jnp.where(post_keep,
+                                 jnp.where(decide, 0, accum1), accum))
+    count2 = jnp.where(clear, 0,
+                       jnp.where(post_keep,
+                                 jnp.where(decide, 0, count1), count))
+    bsc2 = jnp.where(clear, 0, jnp.where(post_keep, bsc1, bsc))
+    nxt2 = jnp.where(clear, 0,
+                     jnp.where(post_keep & decide, nxt + ds_per_bit,
+                               nxt))
+    ok_advance = decide & ~(start_fail | stop_fail | bad)
+    byte2 = jnp.where(clear, 0,
+                      jnp.where(emit, 0,
+                                jnp.where(data_write, byte1, byte_cur)))
+    pos2 = jnp.where(clear, 0,
+                     jnp.where(emit, 0,
+                               jnp.where(ok_advance, pos + 1, pos)))
 
-        # byte value stays int32: Mosaic cannot truncate 8-bit vectors
-        out = (byte_cur, emit, eod, fire)
-        return (started2, counter2, sil2, thr2, accum2, count2, bsc2,
-                nxt2, byte2, pos2), out
+    # byte value stays int32: Mosaic cannot truncate 8-bit vectors
+    out = (byte_cur, emit, eod, fire)
+    return (started2, counter2, sil2, thr2, accum2, count2, bsc2,
+            nxt2, byte2, pos2), out
 
 
 def _stage_d(params: FSKParams, state: DemodState,
@@ -910,8 +919,13 @@ def _quality_calibration(params: FSKParams, family: str = "fsk"):
     with _jax.default_device(cpu):
         sig = np.asarray(_modulate(params, b"\x55"))[None]
         state = _init(params, 1)
+        # explicit unroll=2: _default_unroll() consults the GLOBAL
+        # default backend, which on a TPU host still says "tpu" inside
+        # this CPU-pinned block — the TPU unroll (16) makes XLA:CPU
+        # compile the big scan body ~10x slower (36 s vs 3.7 s
+        # measured for this very calibration)
         _, _, _, _, bits, amps, softs = _seq(params, 0, state,
-                                             jnp.asarray(sig))
+                                             jnp.asarray(sig), unroll=2)
         n_ds = bits.shape[0]
         ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
         ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
@@ -920,7 +934,7 @@ def _quality_calibration(params: FSKParams, family: str = "fsk"):
         t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
         gate = (t[:, None] + state.bit_fill[None, :]) >= jnp.int32(W)
         _, (_, _, _, fires) = _stage_d(params, state, bits, amps,
-                                       ratios, means, gate)
+                                       ratios, means, gate, unroll=2)
     fires_np = np.asarray(fires)[:, 0]
     softs_np = np.asarray(softs, dtype=np.float64)[:, 0]
     ratios_np = np.asarray(ratios, dtype=np.float64)[:, 0]

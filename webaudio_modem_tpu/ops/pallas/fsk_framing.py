@@ -126,6 +126,18 @@ def _stage_d_call(params: FSKParams, n_ds: int, gpb: int, interpret: bool,
             ints_out.reshape(N_I32, B), flts_out.reshape(N_F32, B))
 
 
+
+def _default_block_groups(B: int) -> int:
+    """Slope-calibrated v5e block ladder shared by stage_d and
+    stage_d_compact: bigger blocks amortize the pipeline at the B=2048
+    sweet spot; 4096 stays at 64 (VMEM); above that the formula keeps
+    the 6 double-buffered streams inside the scoped budget."""
+    if B <= 2048:
+        return 256
+    if B <= 4096:
+        return 64
+    return max(24 * 8192 // B, 8)
+
 def stage_d(params: FSKParams, state, bits, amps, ratios, means,
             gate_fill, T_blk_groups: int = 0, interpret: bool = False):
     # T_blk_groups sizes VMEM: 5 input streams + 1 output are double-
@@ -145,14 +157,7 @@ def stage_d(params: FSKParams, state, bits, amps, ratios, means,
                 state.byte_cur, state.pos)
     ints, flts = pack_carry(carry_in)
     if T_blk_groups == 0:
-        # slope-calibrated on v5e: bigger blocks amortize the pipeline
-        # at the B=2048 sweet spot; 4096 stays at 64 (VMEM)
-        if B <= 2048:
-            T_blk_groups = 256
-        elif B <= 4096:
-            T_blk_groups = 64
-        else:
-            T_blk_groups = max(24 * 8192 // B, 8)
+        T_blk_groups = _default_block_groups(B)
     gpb = min(T_blk_groups, n_ds)
     packed, ints_out, flts_out = _stage_d_call(
         params, n_ds, gpb, interpret, ints, flts,
@@ -345,14 +350,7 @@ def stage_d_compact(params: FSKParams, state, bits, amps, ratios, means,
                 state.byte_cur, state.pos)
     ints, flts = pack_carry(carry_in)
     if T_blk_groups == 0:
-        # slope-calibrated on v5e: bigger blocks amortize the pipeline
-        # at the B=2048 sweet spot; 4096 stays at 64 (VMEM)
-        if B <= 2048:
-            T_blk_groups = 256
-        elif B <= 4096:
-            T_blk_groups = 64
-        else:
-            T_blk_groups = max(24 * 8192 // B, 8)
+        T_blk_groups = _default_block_groups(B)
     gpb = min(T_blk_groups, n_ds)
     out, ints_out, flts_out = _stage_d_compact_call(
         params, n_ds, gpb, maxb, interpret, ints, flts,
