@@ -32,6 +32,13 @@ except Exception:
 import asyncio  # noqa: E402
 import inspect  # noqa: E402
 
+# Keep suite timing deterministic: no background calibration threads
+# racing the tests' own jax work (test_signal_quality covers the warm
+# path explicitly).
+from webaudio_modem_tpu.ops import fsk_demod as _fsk_demod  # noqa: E402
+
+_fsk_demod.AUTO_WARM_QUALITY = False
+
 
 def pytest_pyfunc_call(pyfuncitem):
     """Run ``async def`` tests on a fresh event loop (no pytest-asyncio

@@ -160,3 +160,27 @@ def test_restore_onto_mesh():
     restored = ModemFarm.restore(blob, mesh=mesh, donate=False)
     out = restored.demodulate(sig[:, 1000:])
     assert out == msgs
+
+
+def test_dtype_migration_cast_on_load():
+    """A snapshot saved before a dtype migration (e.g. the f32 -> bf16
+    bit planes) must restore with the CURRENT template dtypes — a
+    mixed-dtype state would silently retrace the jitted step and double
+    the plane's memory (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import FSKParams
+    from webaudio_modem_tpu.ops import fsk_demod
+
+    config = FSKConfig(baud_rate=1200)
+    params = FSKParams.from_config(config)
+    state = fsk_demod.init_state(params, batch=2)
+    # simulate a pre-bf16 snapshot: bit_tail stored as float32
+    old = state._replace(
+        bit_tail=(state.bit_tail.astype(jnp.float32) + 0))
+    blob = checkpoint.dumps_state(old, config)
+    restored, _, _ = checkpoint.loads_state(blob)
+    assert restored.bit_tail.dtype == state.bit_tail.dtype
+    for ref, got in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert ref.dtype == got.dtype

@@ -111,3 +111,25 @@ def test_int_phase_tables_match_float64():
                               (lead, trail))
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=5e-4)
+
+
+class TestFrameBitsBatchValidation:
+    """frame_bits_batch is a public batch API (CLAUDE.md) and must
+    validate its own inputs rather than rely on callers."""
+
+    def test_empty_message_list_rejected(self):
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKParams)
+
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        with pytest.raises(ValueError, match="at least one"):
+            fsk_mod.frame_bits_batch(params, [])
+
+    def test_unequal_lengths_rejected(self):
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKParams)
+
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        # total byte count divisible by B — would silently mis-reshape
+        with pytest.raises(ValueError, match="equal-length"):
+            fsk_mod.frame_bits_batch(params, [b"abc", b"a"])

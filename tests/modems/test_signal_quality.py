@@ -228,3 +228,59 @@ def test_quality_unaffected_by_chunk_boundary_near_sync():
     assert bers, "no split positions tested"
     bad = {s: b for s, b in bers.items() if b > 1e-6}
     assert not bad, f"spurious BER at splits: {bad}"
+
+
+class TestCalibrationWarming:
+    def test_warm_populates_cache_and_is_idempotent(self):
+        from webaudio_modem_tpu.models.config import FSKParams
+        from webaudio_modem_tpu.ops import fsk_demod
+
+        config = FSKConfig(baud_rate=1200, mark_frequency=2125,
+                           space_frequency=2295)
+        params = FSKParams.from_config(config)
+        before = fsk_demod._quality_calibration.cache_info().currsize
+        fsk_demod.warm_quality_calibration(params, background=False)
+        after = fsk_demod._quality_calibration.cache_info().currsize
+        assert after == before + 1
+        # idempotent: second warm neither re-spawns nor re-computes
+        fsk_demod.warm_quality_calibration(params, background=False)
+        assert fsk_demod._quality_calibration.cache_info().currsize \
+            == after
+
+    def test_configure_warms_in_background_when_enabled(self):
+        import time
+
+        from webaudio_modem_tpu.ops import fsk_demod
+
+        config = FSKConfig(baud_rate=1200, mark_frequency=1500,
+                           space_frequency=1700)
+        old = fsk_demod.AUTO_WARM_QUALITY
+        fsk_demod.AUTO_WARM_QUALITY = True
+        try:
+            t0 = time.perf_counter()
+            core = FSKCore(config)
+            configure_s = time.perf_counter() - t0
+            # configure must not block on the calibration build
+            assert configure_s < 2.0
+            # ... but the build lands shortly after, in the daemon thread
+            from webaudio_modem_tpu.models.config import FSKParams
+
+            key = (FSKParams.from_config(config), "fsk")
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if fsk_demod._quality_calibration.cache_info().currsize \
+                        and key in fsk_demod._warm_started:
+                    try:
+                        hits0 = fsk_demod._quality_calibration \
+                            .cache_info().hits
+                        fsk_demod._quality_calibration(*key)
+                        if fsk_demod._quality_calibration.cache_info() \
+                                .hits > hits0:
+                            break
+                    except Exception:
+                        pass
+                time.sleep(0.1)
+            assert key in fsk_demod._warm_started
+            core.get_signal_quality()  # no hitch left to pay
+        finally:
+            fsk_demod.AUTO_WARM_QUALITY = old

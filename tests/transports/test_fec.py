@@ -361,3 +361,30 @@ def test_decoder_fuzz_never_crashes_and_recovers():
     # flush: enough trailing zeros to drain any phantom body window
     decoded += dec.process(b"\x00" * FrameEncoder.coded_frame_length(258))
     assert decoded == expected
+
+
+class TestResyncSlideBound:
+    def test_junk_flood_is_bounded_per_call_and_lossless(self):
+        """A junk-heavy stream may not cost unbounded Viterbi decodes in
+        one process() call (ADVICE r2): the per-call slide bound defers
+        the scan, and continuing with process(b'') still finds a
+        genuine frame after the junk — nothing is lost."""
+        frame = FrameEncoder.encode_frame(b"after the flood")
+        junk = bytes((i * 37 + 11) & 0xFF for i in range(600))
+        dec = FrameDecoder(max_slides_per_call=128)
+        out = dec.process(junk + frame)
+        total = list(out)
+        calls = 1
+        while dec.scan_pending and calls < 100:
+            total += dec.process(b"")
+            calls += 1
+        assert total == [b"after the flood"]
+        # the flood took multiple bounded calls, not one unbounded one
+        assert calls > 1
+        assert dec.headers_resynced >= len(junk) - 1
+
+    def test_default_bound_transparent_for_clean_streams(self):
+        dec = FrameDecoder()
+        out = dec.process(FrameEncoder.encode_frame(b"x") * 3)
+        assert out == [b"x"] * 3
+        assert not dec.scan_pending

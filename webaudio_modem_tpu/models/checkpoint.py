@@ -109,8 +109,14 @@ def load_state(path_or_file, mesh=None) -> Tuple[object, object, int]:
                 raise ValueError(
                     f"checkpoint shape mismatch: {got.shape} vs "
                     f"{ref.shape} — config/batch changed?")
+        # Cast each leaf to the template's dtype: a snapshot taken
+        # before a dtype migration (e.g. the f32 -> bf16 bit planes)
+        # must not carry a mixed-dtype state forever — that silently
+        # retraces the jitted step and doubles the plane's memory.
+        # Bit planes hold only 0/1 so the cast is exact.
         state = jax.tree.unflatten(
-            treedef, [np.asarray(x) for x in restored])
+            treedef, [np.asarray(x).astype(ref.dtype)
+                      for ref, x in zip(leaves, restored)])
     if mesh is not None:
         from webaudio_modem_tpu.parallel.sharding import shard_state
 

@@ -23,9 +23,13 @@ from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
 
 
 class _FskOps:
-    init_state = staticmethod(fsk_demod.init_state)
-    make_demod_chunk = staticmethod(fsk_demod.make_demod_chunk)
-    modulate_batch = staticmethod(fsk_mod.modulate_batch)
+    # bound lazily in _resolve_family: binding at class-body time would
+    # read attributes off a partially initialized fsk_demod module when
+    # ops.fsk_demod is the FIRST framework import (it pulls
+    # models.config, whose package __init__ imports this module)
+    init_state = None
+    make_demod_chunk = None
+    modulate_batch = None
 
 
 class _PskOps:
@@ -65,6 +69,10 @@ def _resolve_family(config):
             pre_filter_bandwidth=config.pre_filter_bandwidth)
         return _PskOps, params
 
+    if _FskOps.init_state is None:
+        _FskOps.init_state = staticmethod(fsk_demod.init_state)
+        _FskOps.make_demod_chunk = staticmethod(fsk_demod.make_demod_chunk)
+        _FskOps.modulate_batch = staticmethod(fsk_mod.modulate_batch)
     return _FskOps, FSKParams.from_config(config)
 
 
@@ -104,6 +112,12 @@ class ModemFarm:
         self.batch = batch
         self.mesh = mesh
         self._donate = donate
+        if fsk_demod.AUTO_WARM_QUALITY:
+            from webaudio_modem_tpu.models.psk import PSKConfig
+
+            fsk_demod.warm_quality_calibration(
+                self.params,
+                family="psk" if isinstance(config, PSKConfig) else "fsk")
         self.state = self._ops.init_state(self.params, batch)
         if mesh is not None:
             from webaudio_modem_tpu.parallel.sharding import shard_state
@@ -209,11 +223,11 @@ class ModemFarm:
                     self.state, (counts, vals) = run(self.state, xs)
                     counts = np.asarray(counts)     # [group, B]
                     vals = np.asarray(vals)         # [group, B, maxb]
-                for k in range(group):
-                    for b in range(B):
-                        c = counts[k, b]
-                        if c:
-                            collected[b] += bytes(vals[k, b, :c])
+                # visit only (k, b) pairs that decoded bytes — counts is
+                # almost always zero, and the dense double loop cost
+                # ~100k numpy scalar reads per dispatch at farm B
+                for k, b in zip(*np.nonzero(counts)):
+                    collected[b] += bytes(vals[k, b, :counts[k, b]])
         # trailing chunks (or the whole signal when grouping is off)
         for start in range(n_grouped * chunk_size, T, chunk_size):
             with metrics.timer("farm.chunk"):

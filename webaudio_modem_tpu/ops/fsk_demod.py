@@ -963,6 +963,35 @@ def _quality_calibration(params: FSKParams, family: str = "fsk"):
     return mean_t, var_t, cal_ratio
 
 
+# configure()-time warming of the quality calibration (VERDICT r2 weak
+# #7): the first get_signal_quality per config otherwise pays a
+# hundreds-of-ms lazy CPU-pipeline build.  Default on; tests pin it off
+# to keep suite timing deterministic.
+AUTO_WARM_QUALITY = True
+_warm_started = set()
+
+
+def warm_quality_calibration(params: FSKParams, family: str = "fsk",
+                             background: bool = True) -> None:
+    """Build the clean-signal calibration ahead of the first
+    ``get_signal_quality`` poll.  Idempotent per (params, family); with
+    ``background`` the build runs in a daemon thread so ``configure()``
+    never blocks on it (jax tracing is thread-safe; a concurrent poll
+    at worst duplicates the lru-cached build)."""
+    key = (params, family)
+    if key in _warm_started:
+        return
+    _warm_started.add(key)
+    if background:
+        import threading
+
+        threading.Thread(target=_quality_calibration,
+                         args=(params, family), daemon=True,
+                         name="wam-quality-warm").start()
+    else:
+        _quality_calibration(params, family)
+
+
 def soft_stream(params: FSKParams, samples, state: DemodState = None,
                 ds_phase: int = 0):
     """Public soft-value surface — the reference FEC memo's

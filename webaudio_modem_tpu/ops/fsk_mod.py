@@ -49,6 +49,14 @@ def frame_bits_batch(params: FSKParams,
     Vectorized: the per-byte framed-bit pattern is a 256-entry table
     lookup, so framing B=2048 channels costs two numpy ops instead of
     ~300k Python bit appends (which dominated farm-scale TX)."""
+    if not messages:
+        raise ValueError("frame_bits_batch requires at least one message")
+    if len({len(m) for m in messages}) != 1:
+        # unequal lengths whose total happens to divide by B would
+        # otherwise silently reshape into wrongly framed bits
+        raise ValueError(
+            "frame_bits_batch requires equal-length messages; group by "
+            "length (or pad at the transport layer) first")
     cfg = params.config
     table = _framed_table(cfg)
     pre = np.asarray([*cfg.preamble_pattern, *cfg.sfd_pattern], np.uint8)

@@ -364,5 +364,25 @@ def stage_d_compact(params: FSKParams, state, bits, amps, ratios, means,
     return carry, (bytes_out, byte_count, eod_fired, sync_fired, fire_t)
 
 
+_compact_fallback_logged = set()
+
+
 def compact_available(B: int, maxb: int) -> bool:
+    if maxb > MAX_SLOTS and available(B):
+        # A high-baud/long-chunk config silently dropping to the much
+        # slower masked-sum loop is a perf cliff discoverable only by
+        # profiling — log once per shape and count it.
+        key = (B, maxb)
+        if key not in _compact_fallback_logged:
+            _compact_fallback_logged.add(key)
+            from webaudio_modem_tpu.utils.trace import (component_logger,
+                                                        metrics)
+
+            metrics.incr("pallas.compact_fallback")
+            component_logger("fsk_framing").warning(
+                "compact framing kernel unavailable for B=%d, maxb=%d "
+                "(> MAX_SLOTS=%d): falling back to the masked-sum slot "
+                "loop — use shorter chunks to stay on the fast path",
+                B, maxb, MAX_SLOTS)
+        return False
     return maxb <= MAX_SLOTS and available(B)

@@ -66,9 +66,18 @@ class FrameDecoder:
     """
 
     def __init__(self, on_error: Optional[Callable[[str], None]] = None,
-                 max_payload: int = MAX_PAYLOAD):
+                 max_payload: int = MAX_PAYLOAD,
+                 max_slides_per_call: int = 1024):
         self._buf = bytearray()
         self._on_error = on_error
+        # Every one-byte resync slide re-runs the header Viterbi, so a
+        # junk-heavy stream costs one 64-state decode per byte — bound
+        # the work a single process() call may do.  When the bound is
+        # hit the call returns with the buffer retained; scanning
+        # resumes on the next process() call (process(b"") continues
+        # immediately).  Nothing is dropped — only deferred.
+        self._max_slides_per_call = max_slides_per_call
+        self._scan_pending = False
         # Upper bound on a believable header LEN: a junk byte window
         # has ~2^-16 odds of passing the header CRC by chance, and a
         # large phantom LEN stalls decoding until its coded-body span
@@ -89,14 +98,26 @@ class FrameDecoder:
         self._buf.clear()
         self._body_coded_len = None
         self._payload_len = 0
+        self._scan_pending = False
 
     def pending(self) -> int:
         return len(self._buf)
 
+    @property
+    def scan_pending(self) -> bool:
+        """True when a resync scan was deferred by the per-call slide
+        bound — call ``process(b"")`` to continue it."""
+        return self._scan_pending
+
     def process(self, data: bytes) -> List[bytes]:
         self._buf += bytes(data)
         out: List[bytes] = []
+        slides = 0
+        self._scan_pending = False
         while True:
+            if slides >= self._max_slides_per_call:
+                self._scan_pending = True
+                return out
             if self._body_coded_len is None:
                 if len(self._buf) < HEADER_CODED:
                     return out
@@ -110,6 +131,7 @@ class FrameDecoder:
                     # resync (the memo's boundary detection under junk)
                     del self._buf[0]
                     self.headers_resynced += 1
+                    slides += 1
                     continue
                 # header bytes stay in the buffer until the body
                 # validates: if this "header" was junk that passed the
@@ -134,6 +156,7 @@ class FrameDecoder:
                 # and re-scan — nothing beyond the slide is discarded
                 del self._buf[0]
                 self.headers_resynced += 1
+                slides += 1
                 continue
             del self._buf[:total]
             self.frames_decoded += 1
