@@ -64,6 +64,7 @@ struct Channel {
 
 struct Deframer {
     std::vector<Channel> channels;
+    size_t total_pending = 0;  // sum of all channel buffer sizes
 };
 
 }  // namespace
@@ -94,9 +95,14 @@ void wam_deframer_free(void* handle) {
 
 void wam_deframer_push(void* handle, int channel, const uint8_t* data,
                        size_t len) {
-    auto& ch = static_cast<Deframer*>(handle)->channels[
-        static_cast<size_t>(channel)];
+    auto* d = static_cast<Deframer*>(handle);
+    auto& ch = d->channels[static_cast<size_t>(channel)];
     ch.buf.insert(ch.buf.end(), data, data + len);
+    d->total_pending += len;
+}
+
+size_t wam_deframer_total_pending(void* handle) {
+    return static_cast<Deframer*>(handle)->total_pending;
 }
 
 size_t wam_deframer_pending(void* handle, int channel) {
@@ -105,8 +111,10 @@ size_t wam_deframer_pending(void* handle, int channel) {
 }
 
 void wam_deframer_reset(void* handle, int channel) {
-    static_cast<Deframer*>(handle)->channels[
-        static_cast<size_t>(channel)].buf.clear();
+    auto* d = static_cast<Deframer*>(handle);
+    auto& buf = d->channels[static_cast<size_t>(channel)].buf;
+    d->total_pending -= buf.size();
+    buf.clear();
 }
 
 // Try to extract the next event from a channel's stream.
@@ -114,8 +122,12 @@ void wam_deframer_reset(void* handle, int channel) {
 // On POLL_CONTROL / POLL_JUNK: out[0] = the byte.
 // out must hold >= 2 + 255 bytes.
 int wam_deframer_poll(void* handle, int channel, uint8_t* out) {
-    auto& buf = static_cast<Deframer*>(handle)->channels[
-        static_cast<size_t>(channel)].buf;
+    auto* d = static_cast<Deframer*>(handle);
+    auto& buf = d->channels[static_cast<size_t>(channel)].buf;
+    size_t before = buf.size();
+    // single exit below keeps total_pending consistent with every
+    // consuming branch
+    int code = [&]() -> int {
     while (!buf.empty()) {
         uint8_t first = buf.front();
         if (first == EOT || first == ACK || first == NAK) {
@@ -150,6 +162,64 @@ int wam_deframer_poll(void* handle, int channel, uint8_t* out) {
         return POLL_PACKET;
     }
     return POLL_EMPTY;
+    }();
+    d->total_pending -= before - buf.size();
+    return code;
+}
+
+// Drain a whole farm quantum in ONE call (the batched entry point the
+// 4096-session hub uses — one ctypes crossing per quantum instead of
+// three per active channel).
+//
+// vals:   [n_channels, stride] row-major decoded bytes per channel
+// counts: [n_channels] valid bytes per row (0 rows are skipped)
+// Events are appended as fixed 4-int32 records {channel, code, a, len}
+// to ev (capacity ev_cap records); `a` is seq for PACKET, the byte for
+// CONTROL/JUNK, 0 otherwise.  PACKET payloads are appended back-to-
+// back to payloads (capacity pay_cap; offsets are the running sum of
+// PACKET lens).  Returns the record count, or -1 if a buffer would
+// overflow (callers size with ev_cap >= pushed + previously pending
+// bytes, which one event per byte can never exceed).
+int wam_deframer_drain(void* handle, const uint8_t* vals, size_t stride,
+                       const int32_t* counts, int n_channels,
+                       int32_t* ev, size_t ev_cap,
+                       uint8_t* payloads, size_t pay_cap) {
+    auto* d = static_cast<Deframer*>(handle);
+    size_t n_ev = 0;
+    size_t pay_used = 0;
+    uint8_t scratch[2 + 255];
+    for (int c = 0; c < n_channels; ++c) {
+        int32_t cnt = counts[c];
+        if (cnt > 0) {
+            wam_deframer_push(handle, c, vals + c * stride,
+                              static_cast<size_t>(cnt));
+        }
+        if (d->channels[static_cast<size_t>(c)].buf.empty()) continue;
+        int code;
+        while ((code = wam_deframer_poll(handle, c, scratch)) !=
+               POLL_EMPTY) {
+            if (n_ev >= ev_cap) return -1;
+            int32_t a = 0;
+            int32_t len = 0;
+            if (code == POLL_PACKET) {
+                a = scratch[0];
+                len = scratch[1];
+                if (pay_used + static_cast<size_t>(len) > pay_cap)
+                    return -1;
+                std::memcpy(payloads + pay_used, scratch + 2,
+                            static_cast<size_t>(len));
+                pay_used += static_cast<size_t>(len);
+            } else if (code == POLL_CONTROL || code == POLL_JUNK) {
+                a = scratch[0];
+            }
+            ev[n_ev * 4 + 0] = c;
+            ev[n_ev * 4 + 1] = code;
+            ev[n_ev * 4 + 2] = a;
+            ev[n_ev * 4 + 3] = len;
+            ++n_ev;
+        }
+    }
+    return static_cast<int>(n_ev);
 }
 
 }  // extern "C"

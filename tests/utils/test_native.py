@@ -144,3 +144,83 @@ def test_native_matches_python_on_fuzzed_streams():
         frames_p += dp.poll_all(0)
     assert frames_n == frames_p
     assert any(f.kind == PACKET for f in frames_n)
+
+
+@pytest.mark.skipif(not native_available, reason="g++ lib not built")
+class TestBatchedDrain:
+    """wam_deframer_drain — the ONE-call-per-quantum farm drain path
+    (VERDICT r2: the C ABI was single-channel; the hub paid three
+    ctypes crossings per active channel per quantum)."""
+
+    def _mk_quantum(self, rng, C, maxb):
+        """Random [C, maxb] vals + counts: fragments of wire streams."""
+        vals = np.zeros((C, maxb), np.uint8)
+        counts = np.zeros(C, np.int32)
+        for c in range(C):
+            if rng.rand() < 0.3:
+                continue  # silent channel
+            r = rng.randint(4)
+            if r == 0:
+                piece = _wire(rng.randint(1, 256),
+                              bytes(rng.randint(0, 256, rng.randint(0, 20),
+                                                dtype=np.uint8)))
+            elif r == 1:
+                piece = bytes([rng.choice([0x04, 0x06, 0x15])])
+            elif r == 2:
+                piece = bytes(rng.randint(0, 256, rng.randint(1, 8),
+                                          dtype=np.uint8))
+            else:
+                w = bytearray(_wire(3, b"xx"))
+                w[rng.randint(len(w))] ^= 0xFF
+                piece = bytes(w)
+            n = min(len(piece), maxb) if rng.rand() < 0.5 \
+                else rng.randint(1, min(len(piece), maxb) + 1)
+            vals[c, :n] = np.frombuffer(piece[:n], np.uint8)
+            counts[c] = n
+        return vals, counts
+
+    def test_matches_per_channel_loop(self):
+        """drain() must be event-equivalent to the per-channel
+        push + poll_all loop, including carry of partial frames across
+        quanta."""
+        rng = np.random.RandomState(7)
+        C, maxb = 16, 24
+        batched = Deframer(C)
+        looped = Deframer(C)
+        assert batched.is_native and looped.is_native
+        for _ in range(40):
+            vals, counts = self._mk_quantum(rng, C, maxb)
+            got = batched.drain(vals, counts)
+            want = []
+            for c in range(C):
+                if counts[c]:
+                    looped.push(c, bytes(vals[c, :counts[c]]))
+                for f in looped.poll_all(c):
+                    want.append((c, f))
+            assert got == want
+        assert batched.total_pending() == looped.total_pending()
+
+    def test_matches_python_fallback(self):
+        rng = np.random.RandomState(11)
+        C, maxb = 8, 24
+        dn = Deframer(C)
+        dp = Deframer(C, force_python=True)
+        for _ in range(30):
+            vals, counts = self._mk_quantum(rng, C, maxb)
+            assert dn.drain(vals, counts) == dp.drain(vals, counts)
+        assert dn.total_pending() == dp.total_pending()
+
+    def test_empty_quantum_is_free(self):
+        d = Deframer(4)
+        assert d.drain(np.zeros((4, 8), np.uint8),
+                       np.zeros(4, np.int32)) == []
+
+    def test_total_pending_tracks_buffers(self):
+        d = Deframer(2)
+        d.push(0, b"\x01\x01")       # partial header, stays buffered
+        d.push(1, b"\x06")           # control, consumed on poll
+        assert d.total_pending() == 3
+        assert d.poll(1).kind == CONTROL
+        assert d.total_pending() == 2
+        d.reset(0)
+        assert d.total_pending() == 0

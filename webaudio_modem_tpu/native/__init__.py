@@ -67,5 +67,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
     lib.wam_deframer_poll.restype = ctypes.c_int
+    lib.wam_deframer_total_pending.argtypes = [ctypes.c_void_p]
+    lib.wam_deframer_total_pending.restype = ctypes.c_size_t
+    lib.wam_deframer_drain.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t]
+    lib.wam_deframer_drain.restype = ctypes.c_int
     _lib = lib
     return _lib
