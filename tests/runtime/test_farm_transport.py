@@ -121,7 +121,10 @@ async def test_aborted_modulate_stops_playout():
     ctrl.abort()
     with pytest.raises(AbortError):
         await task
-    assert not hub._tx("a", 0).pending()  # remainder dropped
+    assert not hub.tx_pending("a", 0)  # remainder dropped
+    # and the playing cohort row is deactivated — no further samples
+    for c in hub._cohorts["a"]:
+        assert not c.active.any()
 
 
 async def test_farm_channel_reset_clears_pending():
