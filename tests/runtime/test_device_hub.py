@@ -1,0 +1,212 @@
+"""DeviceFarmHub: the wire lives in device HBM, host traffic is
+bytes-only (VERDICT r2 items: farm-scale transport + device-resident
+ingestion).  Reference analog: the WebAudio render graph moving samples
+between worklet nodes without main-thread copies
+(fsk-processor.ts:152-167, demo.js:403-413)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKConfig
+from webaudio_modem_tpu.runtime.device_hub import DeviceFarmHub
+from webaudio_modem_tpu.sim import make_device_awgn
+from webaudio_modem_tpu.transports.xmodem import XModemTransport
+
+
+async def _run_sessions(B, payloads, hub=None, timeout_ms=60000,
+                        **hub_kwargs):
+    hub = hub or DeviceFarmHub(DEFAULT_FSK_CONFIG, B, **hub_kwargs)
+    pump = asyncio.ensure_future(hub.run())
+    senders = [XModemTransport(hub.channel("a", i)) for i in range(B)]
+    receivers = [XModemTransport(hub.channel("b", i)) for i in range(B)]
+    for t in senders + receivers:
+        t.configure({"timeout_ms": timeout_ms})
+    try:
+        recv_tasks = [asyncio.ensure_future(r.receive_data())
+                      for r in receivers]
+        await asyncio.sleep(0)
+        send_tasks = [asyncio.ensure_future(s.send_data(p))
+                      for s, p in zip(senders, payloads)]
+        await asyncio.gather(*send_tasks)
+        results = await asyncio.gather(*recv_tasks)
+    finally:
+        hub.stop()
+        await pump
+    return results, hub, senders, receivers
+
+
+async def test_concurrent_sessions_with_device_awgn():
+    """ARQ sessions over the device-resident wire with ON-DEVICE noise;
+    every payload exact, C++ deframer on the drain path."""
+    B = 8
+    payloads = [bytes([i]) + f"devhub {i:02d}".encode()
+                + bytes(range(i % 16)) for i in range(B)]
+    results, hub, senders, _ = await _run_sessions(
+        B, payloads, device_channel_fn=make_device_awgn(1e-4))
+    assert results == payloads
+    assert hub.get_status()["native_deframer"]
+    for s in senders:
+        assert s.get_statistics().packets_sent >= 2
+
+
+async def test_multi_fragment_and_ring_wrap():
+    """Multi-fragment transfers long enough that the ring read/write
+    pointers wrap several times."""
+    B = 4
+    hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, B, ring_quanta=13)
+    payloads = [bytes([0x60 + i]) * (200 + 7 * i) for i in range(B)]
+    results, hub, senders, _ = await _run_sessions(B, payloads, hub=hub)
+    assert results == payloads
+    # the transfer consumed more than one full ring revolution
+    assert hub.steps * hub.quantum > hub.ring_len
+    for s in senders:
+        assert s.get_statistics().packets_sent >= 3  # 2 fragments + EOT
+
+
+async def test_payloads_match_host_hub():
+    """Same sessions through the host-playout hub and the device hub
+    decode to the same payloads (no-noise determinism)."""
+    from webaudio_modem_tpu.runtime.farm_channel import FarmLoopbackHub
+
+    B = 3
+    payloads = [bytes([0x41 + i]) * 30 for i in range(B)]
+    res_dev, *_ = await _run_sessions(B, payloads)
+    hub_host = FarmLoopbackHub(DEFAULT_FSK_CONFIG, B)
+    pump = asyncio.ensure_future(hub_host.run())
+    txs = [XModemTransport(hub_host.channel("a", i)) for i in range(B)]
+    rxs = [XModemTransport(hub_host.channel("b", i)) for i in range(B)]
+    for t in txs + rxs:
+        t.configure({"timeout_ms": 60000})
+    try:
+        recvs = [asyncio.ensure_future(r.receive_data()) for r in rxs]
+        await asyncio.gather(*(t.send_data(p)
+                               for t, p in zip(txs, payloads)))
+        res_host = await asyncio.gather(*recvs)
+    finally:
+        hub_host.stop()
+        await pump
+    assert res_dev == res_host == payloads
+
+
+async def test_modulate_resolves_on_playout():
+    hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, 2)
+    ch = hub.channel("a", 0)
+    done = []
+
+    async def tx():
+        await ch.modulate(b"\x06")
+        done.append(True)
+
+    task = asyncio.ensure_future(tx())
+    await asyncio.sleep(0)
+    assert not done  # nothing pumped yet
+    for _ in range(10):
+        hub.step()
+        await asyncio.sleep(0)
+        if done:
+            break
+    assert done
+    await task
+    hub.flush()
+    frame = await asyncio.wait_for(hub.channel("b", 0).next_frame(), 1)
+    assert frame.kind == "control" and frame.byte == 0x06
+
+
+async def test_aborted_modulate_clears_ring():
+    from webaudio_modem_tpu.utils.abort import AbortController, AbortError
+
+    hub = DeviceFarmHub(FSKConfig(baud_rate=1200), 2, quantum=512,
+                        ring_quanta=64)
+    ch = hub.channel("a", 0)
+    ctrl = AbortController()
+    task = asyncio.ensure_future(ch.modulate(b"X" * 40,
+                                             signal=ctrl.signal))
+    await asyncio.sleep(0)
+    hub.step()          # launches + starts playing
+    ctrl.abort()
+    with pytest.raises(AbortError):
+        await task
+    assert not hub.tx_pending("a", 0)
+    # everything beyond the already-consumed quantum is silence now
+    ring = np.asarray(hub._rings["a"])
+    start = hub.steps * hub.quantum
+    assert np.abs(ring[0, start:]).max() == 0.0
+    # the peer decodes at most a junk fragment, never a full frame
+    for _ in range(80):
+        hub.step()
+    hub.flush()
+    frames_q = hub.channel("b", 0)._frames_q
+    while not frames_q.empty():
+        assert frames_q.get_nowait().kind != "packet"
+
+
+async def test_reset_rejects_pending_and_silences_channel():
+    from webaudio_modem_tpu.utils.abort import AbortError
+
+    hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, 2)
+    ch = hub.channel("a", 1)
+    waiter = asyncio.ensure_future(ch.modulate(b"xx"))
+    await asyncio.sleep(0)
+    await ch.reset()
+    with pytest.raises(AbortError):
+        await waiter
+
+
+async def test_oversized_signal_raises():
+    hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, 2, ring_quanta=4)
+    ch = hub.channel("a", 0)
+    task = asyncio.ensure_future(ch.modulate(bytes(120)))
+    await asyncio.sleep(0)
+    with pytest.raises(ValueError, match="ring_quanta"):
+        hub.step()
+    task.cancel()
+
+
+async def test_queued_signal_defers_until_ring_has_room():
+    """Two back-to-back sends on one channel: the second waits for the
+    first playout (per-channel busy) and both arrive in order."""
+    hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, 1, ring_quanta=16)
+    pump = asyncio.ensure_future(hub.run())
+    a = hub.channel("a", 0)
+    b = hub.channel("b", 0)
+    try:
+        await a.modulate(b"\x15")   # NAK
+        await a.modulate(b"\x06")   # ACK
+        kinds = []
+        for _ in range(2):
+            f = await asyncio.wait_for(b.next_frame(), 10)
+            kinds.append(f.byte)
+        assert kinds == [0x15, 0x06]
+    finally:
+        hub.stop()
+        await pump
+
+
+async def test_bytes_only_host_traffic():
+    """The per-quantum host<->device traffic must be the decoded-byte
+    aggregates only: the pump is never fed a host-built audio frame."""
+    hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, 4,
+                        device_channel_fn=make_device_awgn(1e-4))
+    seen = []
+    orig = hub._pump
+
+    def spy(ring, state, roff, key):
+        seen.append((type(ring), type(roff)))
+        return orig(ring, state, roff, key)
+
+    hub._pump = spy
+    ch = hub.channel("a", 0)
+    task = asyncio.ensure_future(ch.modulate(b"\x06"))
+    await asyncio.sleep(0)
+    for _ in range(6):
+        hub.step()
+        await asyncio.sleep(0)
+    hub.flush()
+    await task
+    import jax
+
+    for ring_t, _ in seen:
+        # the wire argument is a device array, not host numpy
+        assert issubclass(ring_t, jax.Array)

@@ -8,3 +8,8 @@ from webaudio_modem_tpu.runtime.data_channel import (  # noqa: F401
     LoopbackDataChannel,
     QueueDataChannel,
 )
+from webaudio_modem_tpu.runtime.farm_channel import (  # noqa: F401
+    FarmDataChannel,
+    FarmLoopbackHub,
+)
+from webaudio_modem_tpu.runtime.device_hub import DeviceFarmHub  # noqa: F401

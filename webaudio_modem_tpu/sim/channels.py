@@ -72,6 +72,25 @@ def make_dropout_channel(drop_probability: float, seed: int = 0,
     return fn
 
 
+def make_device_awgn(noise_power: float):
+    """Jittable on-device AWGN for DeviceFarmHub: same uniform noise
+    model as ``awgn`` (amplitude sqrt(3*noise_power), reference
+    fsk-demodulation.node.test.ts:1184-1205) but drawn with the JAX PRNG
+    inside the hub's fused pump — the noisy frame never exists on the
+    host.  Signature: fn(frame, key) -> frame."""
+    import jax
+    import jax.numpy as jnp
+
+    amplitude = float(np.sqrt(3.0 * noise_power))
+
+    def fn(frame, key):
+        noise = jnp.float32(amplitude) * (
+            jax.random.uniform(key, frame.shape, jnp.float32) * 2.0 - 1.0)
+        return frame + noise
+
+    return fn
+
+
 def make_chain(*fns: Sequence[Callable]) -> Callable[[np.ndarray],
                                                      np.ndarray]:
     def chained(x):
