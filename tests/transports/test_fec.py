@@ -185,7 +185,8 @@ class TestSoftStreamSurface:
 
         params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
         sig = np.asarray(fsk_mod.modulate(params, b"soft!"))
-        bits, amps, softs = fsk_demod.soft_stream(params, sig)
+        out = fsk_demod.soft_stream(params, sig)
+        bits, amps, softs = out.bits, out.amps, out.softs
         assert bits.shape == softs.shape == amps.shape
         derived = (params.polarity * softs > 0).astype(np.float32)
         np.testing.assert_array_equal(derived, bits)
@@ -388,3 +389,138 @@ class TestResyncSlideBound:
         out = dec.process(FrameEncoder.encode_frame(b"x") * 3)
         assert out == [b"x"] * 3
         assert not dec.scan_pending
+
+
+class TestStreamingSoftDecode:
+    """VERDICT r2 item 3: the soft-decision path must STREAM — the
+    memo's receive flow driven by arbitrary chunks, frames spanning
+    chunk boundaries (reference chunk contract, src/core.ts:99-102)."""
+
+    def _params(self):
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKParams)
+        return FSKParams.from_config(DEFAULT_FSK_CONFIG)
+
+    def test_soft_stream_carry_is_bit_exact(self):
+        """Chunked soft_stream with carried state == one whole call:
+        the sliced BITS are exactly equal; the analog planes match to
+        float tolerance (chunk splits move XLA fusion boundaries, and
+        the test env compiles with --xla_allow_excess_precision —
+        decoded-payload equality is the hard contract, CLAUDE.md)."""
+        from webaudio_modem_tpu.models.config import FSKParams
+        from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+
+        params = self._params()
+        sig = np.asarray(fsk_mod.modulate(params, b"carry me"))
+        whole = fsk_demod.soft_stream(params, sig)
+        rng = np.random.RandomState(3)
+        cuts = np.sort(rng.choice(np.arange(1, len(sig)),
+                                  size=6, replace=False))
+        state, phase = None, 0
+        parts = []
+        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(sig)]):
+            out = fsk_demod.soft_stream(params, sig[lo:hi], state, phase)
+            state, phase = out.state, out.ds_phase
+            parts.append((out.bits, out.amps, out.softs))
+        np.testing.assert_array_equal(
+            np.concatenate([p[0] for p in parts], axis=0), whole.bits)
+        for i, name in ((1, "amps"), (2, "softs")):
+            got = np.concatenate([p[i] for p in parts], axis=0)
+            np.testing.assert_allclose(
+                got, getattr(whole, name), rtol=1e-4, atol=1e-5,
+                err_msg=name)
+
+    def test_random_chunk_splits_equal_whole(self):
+        """Decoded payloads from random splits == whole-signal decode
+        (the soft-path mirror of the hard pipeline's split test)."""
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = self._params()
+        payload = b"boundary-spanning FEC frame payload"
+        sig = soft_fsk.encode_frame_signal(params, payload)
+        assert soft_fsk.decode_frame_signal(params, sig) == payload
+        rng = np.random.RandomState(17)
+        for trial in range(4):
+            n_cuts = rng.randint(1, 9)
+            cuts = np.sort(rng.choice(np.arange(1, len(sig)),
+                                      size=n_cuts, replace=False))
+            chunks = [sig[lo:hi] for lo, hi in
+                      zip(np.r_[0, cuts], np.r_[cuts, len(sig)])]
+            assert soft_fsk.decode_frame_chunks(params, chunks) == \
+                [payload], f"trial {trial} cuts {cuts}"
+
+    def test_fixed_128_sample_quanta(self):
+        """AudioWorklet-style 128-sample quanta: every frame boundary
+        falls inside a chunk."""
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = self._params()
+        payload = bytes(range(48))
+        sig = soft_fsk.encode_frame_signal(params, payload)
+        chunks = [sig[i:i + 128] for i in range(0, len(sig), 128)]
+        assert soft_fsk.decode_frame_chunks(params, chunks) == [payload]
+
+    def test_two_frames_in_one_feed_decode_in_order(self):
+        """Regression: both frames buffered in ONE feed must decode in
+        temporal order.  With ratio-descending candidate order the
+        stronger SECOND frame decoded first and its scan-point advance
+        consumed the first frame (found by driving the public API with
+        a whole two-frame signal as a single chunk)."""
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = self._params()
+        p1, p2 = b"first, weaker peak", b"second frame decodes too"
+        sig = np.concatenate([
+            soft_fsk.encode_frame_signal(params, p1),
+            np.zeros(500, np.float32),
+            soft_fsk.encode_frame_signal(params, p2)])
+        assert soft_fsk.decode_frame_chunks(params, [sig]) == [p1, p2]
+
+    def test_back_to_back_frames_with_silence_gap(self):
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = self._params()
+        p1, p2 = b"first frame", b"second frame, longer payload"
+        sig = np.concatenate([
+            soft_fsk.encode_frame_signal(params, p1),
+            np.zeros(997, np.float32),
+            soft_fsk.encode_frame_signal(params, p2)])
+        chunks = [sig[i:i + 777] for i in range(0, len(sig), 777)]
+        assert soft_fsk.decode_frame_chunks(params, chunks) == [p1, p2]
+
+    def test_incremental_decode_fires_as_frames_complete(self):
+        """The first frame must decode BEFORE the second's samples are
+        fed — streaming, not buffer-then-decode."""
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = self._params()
+        p1, p2 = b"early", b"late"
+        s1 = soft_fsk.encode_frame_signal(params, p1)
+        s2 = soft_fsk.encode_frame_signal(params, p2)
+        dec = soft_fsk.SoftFrameDecoder(params)
+        got1 = dec.feed(s1)
+        assert got1 == [p1]
+        got2 = dec.feed(s2)
+        assert got2 == [p2]
+        assert dec.frames_decoded == 2
+
+    def test_noise_and_junk_prefix_chunked(self):
+        """Chunked decode still works below the hard-UART floor, after
+        a noise-only lead-in, with bounded memory."""
+        from webaudio_modem_tpu.ops import soft_fsk
+        from webaudio_modem_tpu.sim import awgn
+
+        params = self._params()
+        payload = b"noisy streaming frame"
+        rng = np.random.RandomState(5)
+        lead = awgn(np.zeros(4000, np.float32), 0.01, rng)
+        sig = np.concatenate([
+            lead, soft_fsk.encode_frame_signal(params, payload)])
+        sig = awgn(sig, 0.02, rng)  # ~14 dB SNR on the frame
+        dec = soft_fsk.SoftFrameDecoder(params)
+        frames = []
+        for i in range(0, len(sig), 1024):
+            frames += dec.feed(sig[i:i + 1024])
+        assert frames == [payload]
+        # memory stays bounded by the trim window after consumption
+        assert len(dec._bits) < 4 * params.sync_window + 10000

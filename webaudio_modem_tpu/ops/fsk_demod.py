@@ -992,18 +992,43 @@ def warm_quality_calibration(params: FSKParams, family: str = "fsk",
         _quality_calibration(params, family)
 
 
+class SoftOut(NamedTuple):
+    """Result of ``soft_stream``: time-major soft planes + the carry
+    needed to continue the stream on the next chunk."""
+
+    bits: np.ndarray    # [n_ds, B] hard-sliced bits (float32 0/1)
+    amps: np.ndarray    # [n_ds, B] I/Q amplitudes
+    softs: np.ndarray   # [n_ds, B] analog post-LPF discriminator
+    state: "DemodState"  # carry: feed back for the next chunk
+    ds_phase: int        # carry: downsample phase for the next chunk
+
+
+@functools.lru_cache(maxsize=None)
+def _soft_stage_jit(params: FSKParams, ds_phase: int):
+    return jax.jit(functools.partial(_sequential_stage, params, ds_phase))
+
+
 def soft_stream(params: FSKParams, samples, state: DemodState = None,
-                ds_phase: int = 0):
+                ds_phase: int = 0) -> SoftOut:
     """Public soft-value surface — the reference FEC memo's
     ``SoftDecisionDemodulator`` analog (advanced-error-correction.md:
     a demodulator that returns soft values and leaves frame-boundary
     detection to the layer above).
 
-    samples: [B, T] (or [T] for one channel).  Returns time-major
-    numpy arrays (bits [n_ds, B], amps [n_ds, B], softs [n_ds, B]):
-    ``softs`` is the analog post-LPF discriminator whose sign is the
-    hard bit; feed window sums of it to ops/fec.viterbi_decode_soft
-    for soft-decision FEC below the UART framing layer.
+    samples: [B, T] (or [T] for one channel).  Returns a ``SoftOut``
+    whose planes are time-major numpy arrays: ``softs`` is the analog
+    post-LPF discriminator whose sign is the hard bit; feed window sums
+    of it to ops/fec.viterbi_decode_soft for soft-decision FEC below
+    the UART framing layer.
+
+    STREAMING: pass ``out.state`` / ``out.ds_phase`` back in on the
+    next chunk — the same chunk contract as the hard pipeline
+    (reference src/core.ts:99-102).  The concatenated ``bits`` are
+    exactly equal to one whole-signal call; the analog planes match to
+    float tolerance (chunk splits move XLA fusion boundaries).
+    Frame-boundary handling across chunks lives in
+    ops/soft_fsk.SoftFrameDecoder, whose decoded payloads ARE
+    split-invariant.
     """
     samples = jnp.asarray(samples, jnp.float32)
     squeeze = samples.ndim == 1
@@ -1011,11 +1036,24 @@ def soft_stream(params: FSKParams, samples, state: DemodState = None,
         samples = samples[None]
     if state is None:
         state = init_state(params, batch=samples.shape[0])
-    _, _, _, _, bits, amps, softs = _sequential_stage(
-        params, ds_phase, state, samples)
+    # jitted per (params, ds_phase) with the executable held strongly
+    # (lru cache): streaming callers dispatch many shapes, and letting
+    # each go through the eager-scan path makes every re-dispatch after
+    # a cpp-cache eviction re-deserialize the persistent-cache entry
+    # (observed to hard-abort in XLA:CPU on long suite runs)
+    fr, dsc, ds_iacc, ds_qacc, bits, amps, softs = _soft_stage_jit(
+        params, ds_phase)(state, samples)
+    agc_gain, pre, phi, iq_i, iq_q = fr
+    last_phase, post_state = dsc
+    new_state = state._replace(
+        agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
+        ds_iacc=ds_iacc, ds_qacc=ds_qacc,
+        last_phase=last_phase, post=post_state)
+    new_phase = (ds_phase + samples.shape[-1]) % params.downsample_ratio
     # bits ride bf16 internally; the public surface stays float32
-    return (np.asarray(bits.astype(jnp.float32)), np.asarray(amps),
-            np.asarray(softs))
+    return SoftOut(np.asarray(bits.astype(jnp.float32)),
+                   np.asarray(amps), np.asarray(softs),
+                   new_state, new_phase)
 
 
 def quality_from_state(params: FSKParams, state, delay_ds: int = 1,

@@ -36,9 +36,15 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
+
 from webaudio_modem_tpu.models.config import FSKParams
 from webaudio_modem_tpu.ops import fec, fsk_demod, fsk_mod
 from webaudio_modem_tpu.utils.crc16 import CRC16
+
+# jitted sync correlation for the streaming decoder: compiled once per
+# (params, padded length) bucket instead of eager op-by-op dispatch
+_sync_ratios_jit = jax.jit(fsk_demod._sync_ratios, static_argnums=0)
 
 HEADER_PLAIN = fec.FRAME_HEADER_PLAIN  # LEN(2) + CRC16(LEN)
 HEADER_CODED_BITS = 2 * (8 * HEADER_PLAIN + fec.K - 1)
@@ -88,9 +94,9 @@ def decode_frame_signal(params: FSKParams, samples,
     the header -> soft FEC decode of the body -> CRC-checked payload.
     Returns None when no valid frame is found."""
     samples = np.asarray(samples, np.float32)
-    bits, amps, softs = fsk_demod.soft_stream(params, samples)
-    bits = bits[:, 0]
-    softs = softs[:, 0].astype(np.float64)
+    out = fsk_demod.soft_stream(params, samples)
+    bits = out.bits[:, 0]
+    softs = out.softs[:, 0].astype(np.float64)
 
     # 相関法: block-sum pattern correlation over the sliced bits
     ds = params.ds_samples_per_bit
@@ -139,6 +145,225 @@ def decode_frame_signal(params: FSKParams, samples,
     return None
 
 
+class SoftFrameDecoder:
+    """STREAMING receive flow of the FEC memo: feed arbitrary sample
+    chunks; frames decode as soon as their span has arrived — including
+    frames that span chunk boundaries (the memo's
+    ``process(samples) -> SoftDecisionDemodulator -> FECDecoder ->
+    Framer`` pipeline driven incrementally, matching the reference's
+    chunked-stream contract, src/core.ts:99-102).
+
+    The demod front end carries its state through
+    ``fsk_demod.soft_stream`` (chunking is bit-exact), and the decoder
+    keeps the un-consumed tail of the sliced-bit / soft-value streams:
+    sync candidates whose coded span has not fully arrived stay pending;
+    candidates whose span HAS arrived and failed every grid offset are
+    cached as dead so junk is never re-Viterbi'd.  Decoded payloads are
+    identical to ``decode_frame_signal`` on the whole signal.
+
+    Match ratios are computed INCREMENTALLY: each feed correlates only
+    the new positions (W of kept history + the new bits, end-padded to
+    a power-of-two bucket so the jit cache stays O(log n) programs) and
+    appends to a cached ratio buffer — correlation is backward-looking,
+    so end padding cannot change a valid position's ratio, and the
+    block sums are exact integers, so the cached values are identical
+    to a whole-signal pass.  Without this, every feed would recompile
+    the correlator at a new length (an XLA compile per audio chunk).
+    """
+
+    # extra ds samples kept behind the scan point: W of correlation
+    # history + the LLR grid's look-back before a peak (~1.25 ds)
+    def __init__(self, params: FSKParams, max_candidates_per_scan: int = 64):
+        self._params = params
+        self._state = None
+        self._ds_phase = 0
+        self._bits = np.zeros((0,), np.float32)
+        self._softs = np.zeros((0,), np.float64)
+        self._abs0 = 0        # absolute ds index of _bits[0]
+        self._scan_from = 0   # absolute ds index: consumed below this
+        self._ratio = np.zeros((0,), np.float32)  # cached match ratios
+        self._ratio_first = 0  # absolute ds index of _ratio[0]
+        self._failed: set = set()  # dead candidate peaks (absolute)
+        self._max_cand = max_candidates_per_scan
+        self.frames_decoded = 0
+
+    def reset(self) -> None:
+        self.__init__(self._params, self._max_cand)
+
+    def feed(self, samples) -> list:
+        """Ingest one chunk ([T] float32) and return the list of
+        payloads completed by it (possibly empty)."""
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim != 1:
+            raise ValueError("SoftFrameDecoder.feed expects a [T] chunk")
+        # split arbitrary chunk lengths into power-of-two pieces so the
+        # jit cache stays bounded (~log2(maxT) programs per config) —
+        # state carry keeps the result identical (FSKCore does the same)
+        offset = 0
+        while offset < len(samples):
+            remaining = len(samples) - offset
+            piece = 1 << (remaining.bit_length() - 1)
+            out = fsk_demod.soft_stream(self._params,
+                                        samples[offset:offset + piece],
+                                        self._state, self._ds_phase)
+            self._state, self._ds_phase = out.state, out.ds_phase
+            self._bits = np.concatenate([self._bits, out.bits[:, 0]])
+            self._softs = np.concatenate(
+                [self._softs, out.softs[:, 0].astype(np.float64)])
+            offset += piece
+        self._extend_ratios()
+        frames = self._scan()
+        self._trim()
+        return frames
+
+    # -- internals --------------------------------------------------------
+
+    def _extend_ratios(self) -> None:
+        """Correlate the not-yet-correlated tail of the bit stream and
+        append to the cached ratio buffer.  The correlator only looks
+        BACKWARD from a position (matched(t) reads ext indices
+        <= W + t - ds, fsk_demod._sync_ratios_cumsum), so computing
+        positions [s, e) needs exactly bits [s - W, e) — missing
+        history below the stream start is zero, identical to the
+        whole-signal path's zero-prepended ext."""
+        W = self._params.sync_window
+        s = self._ratio_first + len(self._ratio)
+        e = self._abs0 + len(self._bits)
+        n = e - s
+        if n <= 0:
+            return
+        bucket = 1 << (n - 1).bit_length()  # next pow2 >= n
+        lead = max(0, (self._abs0 - (s - W)))
+        assert lead == 0 or self._abs0 == 0, \
+            "trim dropped correlation history"
+        ext = np.zeros((W + bucket, 1), np.float32)
+        ext[lead:W + n, 0] = self._bits[s - W + lead - self._abs0:
+                                        e - self._abs0]
+        r = np.asarray(_sync_ratios_jit(
+            self._params, jnp.asarray(ext)))[:n, 0]
+        self._ratio = np.concatenate([self._ratio, r])
+
+    def _scan(self) -> list:
+        """Try sync candidates in TEMPORAL order (earliest first).
+
+        Order matters: a decoded frame advances ``_scan_from`` past its
+        coded span, consuming everything before it — ratio-descending
+        order (the whole-signal decoder's choice) would let a stronger
+        LATER frame consume an earlier one when both spans are buffered
+        (e.g. a whole two-frame signal fed as one chunk).  Temporal
+        order is deadlock-free because coded spans are time-ordered: if
+        a candidate is pending (span not fully arrived), every later
+        candidate is pending too — so a pending candidate ends the
+        pass, and nothing decodable is ever behind it."""
+        threshold = self._params.config.sync_threshold
+        frames = []
+        while True:
+            ratios, first = self._ratio, self._ratio_first
+            if not len(ratios):
+                return frames
+            t_abs = np.arange(first, first + len(ratios))
+            ok = (t_abs >= self._scan_from) & (ratios > threshold)
+            progressed = False
+            tried = 0
+            for t_peak in t_abs[ok]:
+                t_peak = int(t_peak)
+                if t_peak in self._failed:
+                    continue
+                if tried >= self._max_cand:
+                    break  # per-feed work bound; resumes next feed
+                tried += 1
+                result, definitive = self._try_candidate(t_peak)
+                if result is not None:
+                    frames.append(result)
+                    progressed = True
+                    break  # rescan: scan_from advanced past this frame
+                if definitive:
+                    self._failed.add(t_peak)
+                else:
+                    break  # pending span: all later ones pending too
+            if not progressed:
+                return frames
+
+    def _try_candidate(self, t_peak: int):
+        """Attempt the full grid-offset search at one correlation peak.
+        Returns (payload | None, definitive): definitive means every
+        offset's span was available and failed — never retry."""
+        params = self._params
+        ds = params.ds_samples_per_bit
+        end_abs = self._abs0 + len(self._softs)
+        offsets = list(range(t_peak + 1 - ds - ds // 4,
+                             t_peak + 1 + ds // 4 + 1))
+        # wait until the whole header grid (every offset) has arrived —
+        # keeps the offset search identical to the whole-signal path
+        if offsets[-1] + HEADER_CODED_BITS * ds > end_abs:
+            return None, False
+        cand = []
+        for off in offsets:
+            llr = self._llrs(off, HEADER_CODED_BITS)
+            if llr is not None:
+                cand.append((llr, off))
+        if not cand:
+            return None, True
+        stacked = np.stack([llr for llr, _ in cand])
+        headers = fec.viterbi_decode_soft(stacked, 8 * HEADER_PLAIN)
+        definitive = True
+        for k, (_, off) in enumerate(cand):
+            header = fec.bits_to_bytes(headers[k])
+            ln = (header[0] << 8) | header[1]
+            crc = (header[2] << 8) | header[3]
+            if CRC16.calculate(header[:2]) != crc:
+                continue
+            body_bits = _body_coded_bits(ln)
+            body_start = off + HEADER_CODED_BITS * ds
+            if body_start + body_bits * ds > end_abs:
+                definitive = False  # body still arriving — retry later
+                continue
+            b_llr = self._llrs(body_start, body_bits)
+            if b_llr is None:
+                continue
+            decoded = fec.bits_to_bytes(
+                fec.viterbi_decode_soft(b_llr, 8 * (ln + 2)))
+            payload = decoded[:ln]
+            if CRC16.calculate(payload) == \
+                    ((decoded[ln] << 8) | decoded[ln + 1]):
+                self.frames_decoded += 1
+                self._scan_from = body_start + body_bits * ds
+                self._failed = {t for t in self._failed
+                                if t >= self._scan_from}
+                return payload, True
+        return None, definitive
+
+    def _llrs(self, start_abs: int, n_bits: int):
+        return _bit_llrs(self._params, self._softs,
+                         start_abs - self._abs0, n_bits)
+
+    def _trim(self) -> None:
+        """Bound memory: drop everything the scanner can no longer
+        reach (W of correlation history + the LLR look-back)."""
+        params = self._params
+        keep_back = params.sync_window + 2 * params.ds_samples_per_bit
+        cut = self._scan_from - keep_back - self._abs0
+        if cut > 0:
+            self._bits = self._bits[cut:]
+            self._softs = self._softs[cut:]
+            self._abs0 += cut
+        rcut = self._scan_from - self._ratio_first
+        if rcut > 0:
+            self._ratio = self._ratio[rcut:]
+            self._ratio_first += rcut
+
+
+def decode_frame_chunks(params: FSKParams, chunks) -> list:
+    """Convenience: run the streaming decoder over an iterable of
+    sample chunks and return every decoded payload (the chunked mode of
+    ``decode_frame_signal`` — byte-identical output for any split)."""
+    dec = SoftFrameDecoder(params)
+    frames = []
+    for chunk in chunks:
+        frames += dec.feed(chunk)
+    return frames
+
+
 def decode_frames_batch(params: FSKParams, samples,
                         payload_len: int):
     """Farm-scale soft decode: [B, T] signals -> list of payloads
@@ -152,8 +377,8 @@ def decode_frames_batch(params: FSKParams, samples,
     """
     samples = np.asarray(samples, np.float32)
     B = samples.shape[0]
-    bits, amps, softs = fsk_demod.soft_stream(params, samples)
-    softs = softs.astype(np.float64)                   # [n_ds, B]
+    out = fsk_demod.soft_stream(params, samples)
+    bits, softs = out.bits, out.softs.astype(np.float64)  # [n_ds, B]
     n_ds = softs.shape[0]
 
     ds = params.ds_samples_per_bit
