@@ -21,7 +21,13 @@ import __graft_entry__ as graft  # noqa: E402
 
 def test_dryrun_multichip_8_devices(capsys):
     graft.dryrun_multichip(8)
-    assert "dryrun_multichip OK" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "dryrun_multichip OK" in out
+    # VERDICT r2 #5: the dryrun artifact itself must exercise the psk
+    # family, the grouped-dispatch scan and a checkpoint mesh restore
+    assert "psk step" in out
+    assert "grouped scan x2" in out
+    assert "checkpoint restore->step" in out
 
 
 def test_dryrun_multichip_2_devices(capsys):
@@ -43,6 +49,18 @@ def test_numpy_modulate_matches_device_modulate():
     params = FSKParams.from_config(FSKConfig())
     ref = np.asarray(fsk_mod.modulate(params, b"dryrun!"))
     got = graft._numpy_modulate(params, b"dryrun!")
+    assert got.shape == ref.shape
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_numpy_modulate_psk_matches_device_modulate():
+    """The dispatch-free DBPSK synth must match ops/psk.modulate."""
+    from webaudio_modem_tpu.ops import psk
+
+    params = psk.psk_params()
+    ref = np.asarray(psk.modulate(params, b"dryrun!"))
+    got = graft._numpy_modulate_psk(params, b"dryrun!")
     assert got.shape == ref.shape
     assert got.dtype == np.float32
     np.testing.assert_allclose(got, ref, atol=1e-5)
