@@ -1,0 +1,207 @@
+"""One-command on-chip verification (VERDICT r2 next-step #6).
+
+Re-runs, on whatever backend jax selects (the real TPU under axon), the
+checks that previously lived only in commit messages and doc prose:
+
+  1. golden differential  — FSKCore decode == GoldenFSK on clean + 25 dB
+     noisy signals (bit-exact scalar comparator, SURVEY §6)
+  2. pallas vs lax        — identical channels decoded at B=2048 (Pallas
+     sequential + compact framing kernels engaged) and B=512 (lax
+     fallback path) must produce identical bytes per channel
+  3. BER spot parity      — device curve == golden curve (bit_errors and
+     frame errors) on identical noise at 2 SNR points
+  4. PSK farm decode      — 2048 DBPSK channels decode exactly
+  5. mini ARQ endurance   — 64 concurrent XModem sessions over the
+     device-resident hub, every payload exact
+
+Prints ONE JSON summary line (pass/fail per check + timings) and exits
+non-zero on any failure.  Bounded: sized to finish in a few minutes
+through the remote-compile tunnel (repeat runs hit the compile cache).
+
+    python examples/verify_onchip.py            # all checks
+    python examples/verify_onchip.py --only ber_parity pallas_vs_lax
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def check_golden_differential():
+    from webaudio_modem_tpu.golden import GoldenFSK
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
+    from webaudio_modem_tpu.models.fsk import FSKCore
+
+    core = FSKCore(DEFAULT_FSK_CONFIG)
+    golden = GoldenFSK(DEFAULT_FSK_CONFIG)
+    rng = np.random.RandomState(11)
+    for data in (b"\x00", b"Hello, World!", bytes(range(24))):
+        sig = core.modulate_data(data)
+        if not (core.demodulate_data(sig) == golden.demodulate(sig)
+                == data):
+            return False, f"clean mismatch for {data!r}"
+        core.reset()
+        golden.reset()
+        power = float(np.mean(np.asarray(sig, np.float64) ** 2))
+        amp = np.sqrt(3 * power / (10 ** 2.5))       # 25 dB SNR
+        noisy = (np.asarray(sig)
+                 + amp * (rng.uniform(size=len(sig)) * 2 - 1)
+                 ).astype(np.float32)
+        if core.demodulate_data(noisy) != golden.demodulate(noisy):
+            return False, f"noisy differential mismatch for {data!r}"
+        core.reset()
+        golden.reset()
+    return True, "3 payloads, clean + 25 dB, byte-identical"
+
+
+def check_pallas_vs_lax():
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
+    from webaudio_modem_tpu.models.farm import ModemFarm
+    from webaudio_modem_tpu.ops.pallas import fsk_seq
+
+    msgs = [bytes([i & 0xFF, (i * 7) & 0xFF, 0x5A]) for i in range(512)]
+    out = {}
+    for B in (2048, 512):     # Pallas path vs lax fallback
+        farm = ModemFarm(DEFAULT_FSK_CONFIG, B, donate=False)
+        sig = np.asarray(farm.modulate([msgs[i % 512]
+                                        for i in range(B)]))
+        out[B] = farm.demodulate(sig)[:512]
+    if not fsk_seq.available(2048):
+        return False, "Pallas kernel unexpectedly unavailable at B=2048"
+    if out[2048] != out[512]:
+        bad = sum(1 for a, b in zip(out[2048], out[512]) if a != b)
+        return False, f"{bad}/512 channels differ between B=2048/B=512"
+    if any(out[512][i] != msgs[i] for i in range(512)):
+        bad = sum(1 for i in range(512) if out[512][i] != msgs[i])
+        return False, f"{bad}/512 channels decoded wrong payloads"
+    return True, "512 channels byte-identical across Pallas/lax paths"
+
+
+def check_ber_parity(snrs=(12.0, 6.0)):
+    from webaudio_modem_tpu.models.config import FSKConfig
+    from webaudio_modem_tpu.sim.ber import ber_parity_report
+
+    config = FSKConfig(baud_rate=300)
+    rep = ber_parity_report(config, list(snrs), messages_per_point=24)
+    for d, g in zip(rep["device"], rep["golden"]):
+        if (d.bit_errors, d.byte_errors) != (g.bit_errors, g.byte_errors):
+            return False, (f"SNR {d.snr_db}: device "
+                           f"{d.bit_errors}b/{d.byte_errors}f vs golden "
+                           f"{g.bit_errors}b/{g.byte_errors}f")
+    detail = ", ".join(
+        f"{d.snr_db:g} dB: ber={d.ber:.4f} fer={d.fer:.3f}"
+        for d in rep["device"])
+    return True, f"device==golden at {detail}"
+
+
+def check_psk_farm():
+    from webaudio_modem_tpu.models.farm import ModemFarm
+    from webaudio_modem_tpu.models.psk import PSKConfig
+
+    B = 2048
+    farm = ModemFarm(PSKConfig(), B, donate=False)
+    msgs = [bytes([i & 0xFF, (i >> 8) & 0xFF, (i * 13) & 0xFF])
+            for i in range(B)]
+    decoded = farm.demodulate(np.asarray(farm.modulate(msgs)))
+    bad = sum(1 for d, m in zip(decoded, msgs) if d != m)
+    if bad:
+        return False, f"{bad}/{B} PSK channels decoded wrong payloads"
+    return True, f"{B}/{B} DBPSK channels exact"
+
+
+def check_mini_arq(batch=64, payload=11):
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
+    from webaudio_modem_tpu.runtime.device_hub import DeviceFarmHub
+    from webaudio_modem_tpu.transports.xmodem import XModemTransport
+
+    async def run():
+        hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, batch, quantum=4800,
+                            ring_quanta=16)
+        senders = [XModemTransport(hub.channel("a", i))
+                   for i in range(batch)]
+        receivers = [XModemTransport(hub.channel("b", i))
+                     for i in range(batch)]
+        for t in senders + receivers:
+            t.configure({"timeout_ms": 600000})
+        payloads = [bytes((i + k) & 0xFF for k in range(payload))
+                    for i in range(batch)]
+        pump = asyncio.ensure_future(hub.run())
+        try:
+            recv = [asyncio.ensure_future(r.receive_data())
+                    for r in receivers]
+            await asyncio.sleep(0)
+            await asyncio.gather(*(s.send_data(p)
+                                   for s, p in zip(senders, payloads)))
+            results = await asyncio.gather(*recv)
+        finally:
+            hub.stop()
+            await pump
+        bad = sum(1 for r, p in zip(results, payloads) if r != p)
+        retx = sum(s.get_statistics().packets_retransmitted
+                   for s in senders)
+        return bad, retx, hub.steps
+
+    bad, retx, steps = asyncio.run(run())
+    if bad:
+        return False, f"{bad}/{batch} ARQ payloads mismatched"
+    return True, (f"{batch}/{batch} concurrent ARQ transfers exact "
+                  f"({steps} quanta, {retx} retransmits)")
+
+
+CHECKS = [
+    ("golden_differential", check_golden_differential),
+    ("pallas_vs_lax", check_pallas_vs_lax),
+    ("ber_parity", check_ber_parity),
+    ("psk_farm", check_psk_farm),
+    ("mini_arq", check_mini_arq),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of check names to run")
+    args = ap.parse_args()
+
+    try:  # persistent compile cache for repeat runs
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/wam_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    results = []
+    ok_all = True
+    for name, fn in CHECKS:
+        if args.only and name not in args.only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            ok, detail = fn()
+        except Exception as e:  # noqa: BLE001 - report, don't crash
+            ok, detail = False, f"{type(e).__name__}: {e}"
+        dt = time.perf_counter() - t0
+        print(f"  [{'PASS' if ok else 'FAIL'}] {name}: {detail} "
+              f"({dt:.1f}s)", file=sys.stderr, flush=True)
+        results.append({"check": name, "ok": ok, "detail": detail,
+                        "seconds": round(dt, 1)})
+        ok_all = ok_all and ok
+    import jax
+
+    print(json.dumps({"pass": ok_all,
+                      "backend": jax.default_backend(),
+                      "checks": results}))
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -210,3 +210,17 @@ async def test_bytes_only_host_traffic():
     for ring_t, _ in seen:
         # the wire argument is a device array, not host numpy
         assert issubclass(ring_t, jax.Array)
+
+
+async def test_128_concurrent_sessions_exact():
+    """Scale check on the CPU backend: 128 concurrent ARQ sessions over
+    the device-resident wire (the on-chip 4096 run lives in
+    examples/farm_endurance.py; this is the same topology)."""
+    B = 128
+    payloads = [bytes([i]) + b"ch" + bytes([i ^ 0x5A]) for i in range(B)]
+    results, hub, senders, _ = await _run_sessions(
+        B, payloads, device_channel_fn=make_device_awgn(1e-4))
+    assert results == payloads
+    assert hub.get_status()["native_deframer"]
+    retx = sum(s.get_statistics().packets_retransmitted for s in senders)
+    assert retx == 0  # clean-ish channel: no retries needed

@@ -361,10 +361,21 @@ class FarmHubBase:
         raise NotImplementedError
 
     async def run(self, max_steps: Optional[int] = None,
-                  idle_limit: Optional[int] = None) -> None:
+                  idle_limit: Optional[int] = None,
+                  yields_per_step: int = 32) -> None:
         """Pump until stopped; yields to the event loop each step so
         transport coroutines interleave.  ``idle_limit`` stops after
-        that many consecutive silent steps (both directions idle)."""
+        that many consecutive silent steps (both directions idle).
+
+        ``yields_per_step``: event-loop iterations granted between
+        quanta.  A protocol phase (packet in -> ACK out) is a chain of
+        ~30 awaits, and each loop iteration advances every ready chain
+        by ONE hop — with a single yield, protocol latency would be
+        chain_length x step_wall (at 4096 sessions through a tunnel,
+        minutes — enough to trip the ARQ timeouts).  Draining the loop
+        between steps keeps protocol latency at ~1 quantum regardless
+        of step cost, and batches all concurrent replies into the same
+        launch cohort.  Idle iterations cost microseconds."""
         self._running = True
         idle = 0
         n = 0
@@ -376,7 +387,8 @@ class FarmHubBase:
                 idle = 0 if busy else idle + 1
                 if idle_limit is not None and idle >= idle_limit:
                     break
-                await asyncio.sleep(0)
+                for _ in range(max(1, yields_per_step)):
+                    await asyncio.sleep(0)
         finally:
             self._running = False
             self.flush()
