@@ -44,7 +44,9 @@ def check_golden_differential():
     core = FSKCore(DEFAULT_FSK_CONFIG)
     golden = GoldenFSK(DEFAULT_FSK_CONFIG)
     rng = np.random.RandomState(11)
-    for data in (b"\x00", b"Hello, World!", bytes(range(24))):
+    # equal-length payloads: each distinct signal length is a distinct
+    # remote compile through the tunnel (~3 min each on a cold cache)
+    for data in (b"\x00" * 13, b"Hello, World!", bytes(range(13))):
         sig = core.modulate_data(data)
         if not (core.demodulate_data(sig) == golden.demodulate(sig)
                 == data):
@@ -86,11 +88,16 @@ def check_pallas_vs_lax():
     return True, "512 channels byte-identical across Pallas/lax paths"
 
 
-def check_ber_parity(snrs=(12.0, 6.0)):
+def check_ber_parity(snrs=(-4.0, -6.0)):
     from webaudio_modem_tpu.models.config import FSKConfig
     from webaudio_modem_tpu.sim.ber import ber_parity_report
 
-    config = FSKConfig(baud_rate=300)
+    # Bell-202 wide deviation: its waterfall sits at -4/-6 dB
+    # (docs/BER_RESULTS.md), so both points produce NONZERO error
+    # counts — digit-exact parity inside the failure region, not a
+    # trivially-clean comparison.
+    config = FSKConfig(baud_rate=1200, mark_frequency=1200,
+                       space_frequency=2200)
     rep = ber_parity_report(config, list(snrs), messages_per_point=24)
     for d, g in zip(rep["device"], rep["golden"]):
         if (d.bit_errors, d.byte_errors) != (g.bit_errors, g.byte_errors):

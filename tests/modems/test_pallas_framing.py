@@ -26,23 +26,23 @@ def _intermediates(params, B, T, seed=0):
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
     n_ds = bits.shape[0]
     ratios = fsk_demod._sync_ratios(params, ext_bits)
-    means = fsk_demod._amp_means(params, state, ext_amps, n_ds)
+    sub = ext_amps[:n_ds]  # delayed stream for the fused rolling mean
     t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
     gate = (t[:, None] + state.bit_fill[None, :]) >= \
         jnp.int32(params.sync_window)
-    return state, bits, amps, ratios, means, gate
+    return state, bits, amps, ratios, sub, gate, ext_amps
 
 
 @pytest.mark.parametrize("T", [2048, 4096])
 def test_framing_kernel_matches_scan(T):
     params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
     B = 128
-    state, bits, amps, ratios, means, gate = _intermediates(params, B, T)
+    state, bits, amps, ratios, sub, gate, _ = _intermediates(params, B, T)
 
     carry_ref, outs_ref = fsk_demod._stage_d(
-        params, state, bits, amps, ratios, means, gate, unroll=2)
+        params, state, bits, amps, ratios, sub, gate, unroll=2)
     carry_p, outs_p = fsk_framing.stage_d(
-        params, state, bits, amps, ratios, means, gate,
+        params, state, bits, amps, ratios, sub, gate,
         T_blk_groups=256, interpret=True)
 
     names = ["byte_vals", "emits", "eods", "fires"]
@@ -57,26 +57,31 @@ def test_framing_kernel_matches_scan(T):
 def test_framing_kernel_streaming_carry():
     params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
     B = 128
-    state, bits, amps, ratios, means, gate = _intermediates(
+    state, bits, amps, ratios, sub, gate, ext_amps = _intermediates(
         params, B, 4096, seed=1)
     n = bits.shape[0]
     half = n // 2
+    A = params.amp_window
 
     _, outs_whole = fsk_framing.stage_d(
-        params, state, bits, amps, ratios, means, gate,
+        params, state, bits, amps, ratios, sub, gate,
         T_blk_groups=128, interpret=True)
 
     carry1, outs1 = fsk_framing.stage_d(
         params, state, bits[:half], amps[:half], ratios[:half],
-        means[:half], gate[:half], T_blk_groups=128, interpret=True)
+        sub[:half], gate[:half], T_blk_groups=128, interpret=True)
+    # chunk boundary: restore the framing carry AND the means window
+    # exactly as demod_chunk does (amp_tail slides; run_sum re-anchors)
     state2 = state._replace(
         started=carry1[0], counter=carry1[1], sil=carry1[2],
         threshold=carry1[3], accum=carry1[4], count=carry1[5],
         bsc=carry1[6], next_idx=carry1[7], byte_cur=carry1[8],
-        pos=carry1[9])
+        pos=carry1[9],
+        amp_tail=ext_amps[half:half + A],
+        amp_fill=state.amp_fill + half)
     _, outs2 = fsk_framing.stage_d(
         params, state2, bits[half:], amps[half:], ratios[half:],
-        means[half:], gate[half:], T_blk_groups=128, interpret=True)
+        sub[half:], gate[half:], T_blk_groups=128, interpret=True)
 
     for k in range(4):
         got = np.concatenate([np.asarray(outs1[k]), np.asarray(outs2[k])],
@@ -90,13 +95,14 @@ def test_compact_kernel_matches_lax_compaction(T):
     must reproduce the lax path's compacted outputs exactly."""
     params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
     B = 128
-    state, bits, amps, ratios, means, gate = _intermediates(params, B, T)
+    state, bits, amps, ratios, sub, gate, ext_amps = _intermediates(
+        params, B, T)
     n_ds = bits.shape[0]
     from webaudio_modem_tpu.ops.fsk_demod import max_bytes
     maxb = max_bytes(params, n_ds)
 
     carry_ref, (byte_vals, emits, eods, fires) = fsk_demod._stage_d(
-        params, state, bits, amps, ratios, means, gate, unroll=2)
+        params, state, bits, amps, ratios, sub, gate, unroll=2)
     t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
     fire_t_ref = np.asarray(
         jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0))
@@ -111,7 +117,7 @@ def test_compact_kernel_matches_lax_compaction(T):
 
     carry_p, (bytes_p, count_p, eod_p, fire_p, fire_t_p) = \
         fsk_framing.stage_d_compact(params, state, bits, amps, ratios,
-                                    means, maxb,
+                                    ext_amps, maxb,
                                     T_blk_groups=256, interpret=True)
     np.testing.assert_array_equal(np.asarray(bytes_p), bytes_ref)
     np.testing.assert_array_equal(np.asarray(count_p), count_ref)

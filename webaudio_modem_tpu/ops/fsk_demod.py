@@ -560,18 +560,17 @@ def _sync_ratios_cumsum(params: FSKParams, ext_bits):
     return matched / W
 
 
-def _amp_means(params: FSKParams, state: DemodState, ext_amps, n_ds: int):
-    """Rolling mean of the last ``amp_window`` amplitudes at each new
-    position (divisor = current fill, mirroring ring-buffer length,
-    fsk.ts:322-326).  ext_amps time-major [A + n_ds, B] -> [n_ds, B]."""
-    A = params.amp_window
-    csum = jnp.cumsum(
-        jnp.concatenate([jnp.zeros_like(ext_amps[:1]), ext_amps], 0),
-        axis=0)
-    sums = csum[A + 1:] - csum[1:n_ds + 1]                # [n_ds, B]
-    t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
-    fill = jnp.minimum(t[:, None] + state.amp_fill[None, :], A)
-    return sums / jnp.maximum(fill, 1).astype(jnp.float32)
+def _means_carry(params: FSKParams, state: DemodState):
+    """Initial (run_sum, fill) carry for the fused rolling amplitude
+    mean in ``_d_step``: the EXACT (tree-summed) window sum over the
+    carried amp_tail, re-anchored at every chunk boundary so rolling
+    f32 error cannot accumulate across a stream, and the window fill
+    capped at ``amp_window`` (unfilled tail slots are zero, so the
+    A-wide sum equals the fill-wide sum — same convention the former
+    cumsum pass used)."""
+    run_sum0 = jnp.sum(state.amp_tail, axis=0)
+    fillv0 = jnp.minimum(state.amp_fill, jnp.int32(params.amp_window))
+    return run_sum0, fillv0
 
 
 # ---------------------------------------------------------------------------
@@ -580,7 +579,21 @@ def _amp_means(params: FSKParams, state: DemodState, ext_amps, n_ds: int):
 
 def _d_step(params: FSKParams, carry, inp):
     """One downsampled step of the framing state machine
-    (fsk.ts:278-375), branchless."""
+    (fsk.ts:278-375), branchless.
+
+    The rolling amplitude mean (ring-buffer mean, fsk.ts:322-326) is
+    FUSED into this step (round 3): the carry holds the running
+    ``amp_window``-wide sum and its fill, and each step adds the new
+    amplitude and subtracts the one leaving the window (``amp_sub`` —
+    the amps stream delayed by ``amp_window``).  This removes the
+    separate cumsum/slice-diff means pass and its [n_ds, B] plane
+    (~0.15 ms/chunk of HBM traffic at the bench shape).  The sum is
+    re-anchored EXACTLY from amp_tail at every chunk boundary, so f32
+    drift is bounded by one chunk (~2400 adds) and never accumulates
+    across a stream; the mean only feeds the silence threshold set at
+    sync fire (thr = mean * 0.1), where 1e-6-relative differences are
+    far below the decision margins.
+    """
     ds_per_bit = jnp.int32(params.ds_samples_per_bit)
     quarter = jnp.int32(params.quarter_bit)
     eod_after = jnp.float32(params.samples_for_eod)
@@ -592,10 +605,16 @@ def _d_step(params: FSKParams, carry, inp):
     # select_n on i1 vectors (i8->i1 truncation error), and the lax
     # path is indifferent.
     (started_i, counter, sil, thr, accum, count, bsc, nxt,
-     byte_cur, pos) = carry
+     byte_cur, pos, run_sum, fillv) = carry
     started = started_i > 0
-    bit, amp, ratio, mean, gate = inp
+    bit, amp, ratio, amp_sub, gate = inp
     bit_i = bit.astype(jnp.int32)
+
+    # rolling mean over the last amp_window amplitudes (incl. this one)
+    run_sum1 = run_sum + amp - amp_sub
+    fillv1 = jnp.minimum(fillv + jnp.int32(1),
+                         jnp.int32(params.amp_window))
+    mean = run_sum1 / fillv1.astype(jnp.float32)
 
     # The reference's float64 JS counter never wraps in practice;
     # an int32 would after ~2^31 steps (~25 h of 24 kHz ds stream
@@ -673,28 +692,32 @@ def _d_step(params: FSKParams, carry, inp):
     # byte value stays int32: Mosaic cannot truncate 8-bit vectors
     out = (byte_cur, emit, eod, fire)
     return (started2, counter2, sil2, thr2, accum2, count2, bsc2,
-            nxt2, byte2, pos2), out
+            nxt2, byte2, pos2, run_sum1, fillv1), out
 
 
 def _stage_d(params: FSKParams, state: DemodState,
-             bits, amps, ratios, means, gate_fill,
+             bits, amps, ratios, sub_amps, gate_fill,
              unroll: int = 0):
     """Framing state machine.  All inputs AND outputs time-major
-    [n_ds, B]; the scan body is unrolled ``unroll`` steps per iteration
-    (see _UNROLL note).  On TPU with a lane-aligned batch the Pallas
-    kernel (ops/pallas/fsk_framing.py) takes over."""
+    [n_ds, B]; ``sub_amps`` is the amps stream delayed by amp_window
+    (ext_amps[:n_ds]) feeding the fused rolling mean.  The scan body is
+    unrolled ``unroll`` steps per iteration (see _UNROLL note).  On TPU
+    with a lane-aligned batch the Pallas kernel
+    (ops/pallas/fsk_framing.py) takes over."""
     if not FORCE_LAX_SEQ and bits.shape[0] > 0:
         from webaudio_modem_tpu.ops.pallas import fsk_framing
 
         if fsk_framing.available(bits.shape[-1]):
             return fsk_framing.stage_d(params, state, bits, amps,
-                                       ratios, means, gate_fill)
+                                       ratios, sub_amps, gate_fill)
 
     unroll = unroll or _default_unroll()
+    run_sum0, fillv0 = _means_carry(params, state)
     carry = (state.started.astype(jnp.int32), state.counter, state.sil,
              state.threshold, state.accum, state.count, state.bsc,
-             state.next_idx, state.byte_cur, state.pos)
-    inputs = (bits, amps, ratios, means, gate_fill)
+             state.next_idx, state.byte_cur, state.pos,
+             run_sum0, fillv0)
+    inputs = (bits, amps, ratios, sub_amps, gate_fill)
     n_ds, B = bits.shape
     main = (n_ds // unroll) * unroll
     out_parts = []
@@ -815,7 +838,6 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
     ratios = _sync_ratios(params, ext_bits)
-    means = _amp_means(params, state, ext_amps, n_ds)
 
     # Stage D + byte compaction.  On TPU with a lane-aligned batch the
     # compact Pallas kernel does both inside VMEM and emits only
@@ -828,17 +850,19 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
 
         use_compact = fsk_framing.compact_available(B, maxb)
     if use_compact:
-        # the sync gate is derived in-kernel from bit_fill
+        # the sync gate is derived in-kernel from bit_fill; the fused
+        # rolling mean reads ext_amps as the delayed subtraction stream
         d_carry, (bytes_i32, byte_count, eod_fired, sync_fired,
                   fire_t) = fsk_framing.stage_d_compact(
-            params, state, bits, amps, ratios, means, maxb)
+            params, state, bits, amps, ratios, ext_amps, maxb)
         bytes_out = bytes_i32.astype(jnp.uint8)
     else:
         t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
         gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
             jnp.int32(params.sync_window)
         d_carry, (byte_vals, emits, eods, fires) = _stage_d(
-            params, state, bits, amps, ratios, means, gate_fill)
+            params, state, bits, amps, ratios, ext_amps[:n_ds],
+            gate_fill)
         t_idx = jnp.arange(n_ds, dtype=jnp.int32)[:, None]
         fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
         positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
@@ -851,8 +875,10 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
         eod_fired = eods.astype(jnp.int32).sum(0)
         sync_fired = fires.astype(jnp.int32).sum(0)
 
+    # the trailing (run_sum, fill) means-carry is chunk-local: it is
+    # re-anchored exactly from amp_tail at the next chunk (_means_carry)
     (started_i, counter, sil, threshold, accum, count, bsc, next_idx,
-     byte_cur, pos) = d_carry
+     byte_cur, pos) = d_carry[:10]
     started = started_i > 0  # stage D carries it as int32 (Mosaic i1)
 
     (last_sync_ratio, q_win_sum, q_win_sumsq,
@@ -930,11 +956,11 @@ def _quality_calibration(params: FSKParams, family: str = "fsk"):
         ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
         ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
         ratios = _sync_ratios(params, ext_bits)
-        means = _amp_means(params, state, ext_amps, n_ds)
         t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
         gate = (t[:, None] + state.bit_fill[None, :]) >= jnp.int32(W)
         _, (_, _, _, fires) = _stage_d(params, state, bits, amps,
-                                       ratios, means, gate, unroll=2)
+                                       ratios, ext_amps[:n_ds], gate,
+                                       unroll=2)
     fires_np = np.asarray(fires)[:, 0]
     softs_np = np.asarray(softs, dtype=np.float64)[:, 0]
     ratios_np = np.asarray(ratios, dtype=np.float64)[:, 0]

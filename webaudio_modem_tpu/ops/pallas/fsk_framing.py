@@ -25,26 +25,27 @@ from webaudio_modem_tpu.models.config import FSKParams
 
 LANES = 128
 MIN_B = 1024
-N_I32 = 9   # started, counter, sil, accum, count, bsc, nxt, byte_cur, pos
-N_F32 = 1   # threshold
+# started, counter, sil, accum, count, bsc, nxt, byte_cur, pos, fill
+N_I32 = 10
+N_F32 = 2   # threshold, rolling amp-window sum (fused means carry)
 
 
 def pack_carry(carry):
     (started, counter, sil, thr, accum, count, bsc, nxt,
-     byte_cur, pos) = carry
+     byte_cur, pos, run_sum, fillv) = carry
     ints = jnp.stack([started.astype(jnp.int32), counter, sil, accum,
-                      count, bsc, nxt, byte_cur, pos], 0)
-    return ints, thr[None]
+                      count, bsc, nxt, byte_cur, pos, fillv], 0)
+    return ints, jnp.stack([thr, run_sum], 0)
 
 
 def unpack_carry(ints, flts):
     # started stays int32 — _d_step's carry convention (Mosaic i1 limits)
     return (ints[0], ints[1], ints[2], flts[0], ints[3], ints[4],
-            ints[5], ints[6], ints[7], ints[8])
+            ints[5], ints[6], ints[7], ints[8], flts[1], ints[9])
 
 
 def _kernel(params: FSKParams, n_ds: int, gpb: int,
-            bits_ref, amps_ref, ratios_ref, means_ref, gate_ref,
+            bits_ref, amps_ref, ratios_ref, sub_ref, gate_ref,
             sti_ref, stf_ref, out_ref, sti_out, stf_out, scr_i, scr_f):
     from webaudio_modem_tpu.ops.fsk_demod import _d_step
 
@@ -63,7 +64,7 @@ def _kernel(params: FSKParams, n_ds: int, gpb: int,
     count = jnp.minimum(gpb, n_ds - t_idx * gpb)
 
     def body(i, carry):
-        inp = (bits_ref[i], amps_ref[i], ratios_ref[i], means_ref[i],
+        inp = (bits_ref[i], amps_ref[i], ratios_ref[i], sub_ref[i],
                gate_ref[i] > jnp.float32(0.5))
         carry, (byte_i32, emit, eod, fire) = _d_step(params, carry, inp)
         packed = ((byte_i32 & 0xFF)
@@ -89,7 +90,7 @@ def _kernel(params: FSKParams, n_ds: int, gpb: int,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _stage_d_call(params: FSKParams, n_ds: int, gpb: int, interpret: bool,
-                  ints, flts, bits, amps, ratios, means, gate_f32):
+                  ints, flts, bits, amps, ratios, sub_amps, gate_f32):
     rows = bits.shape[-1] // LANES
 
     def r3(a):
@@ -118,7 +119,7 @@ def _stage_d_call(params: FSKParams, n_ds: int, gpb: int, interpret: bool,
             pltpu.VMEM((N_F32, rows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(r3(bits), r3(amps), r3(ratios), r3(means), r3(gate_f32),
+    )(r3(bits), r3(amps), r3(ratios), r3(sub_amps), r3(gate_f32),
       ints.reshape(N_I32, rows, LANES),
       flts.reshape(N_F32, rows, LANES))
     B = bits.shape[-1]
@@ -138,7 +139,7 @@ def _default_block_groups(B: int) -> int:
         return 64
     return max(24 * 8192 // B, 8)
 
-def stage_d(params: FSKParams, state, bits, amps, ratios, means,
+def stage_d(params: FSKParams, state, bits, amps, ratios, sub_amps,
             gate_fill, T_blk_groups: int = 0, interpret: bool = False):
     # T_blk_groups sizes VMEM: 5 input streams + 1 output are double-
     # buffered per block (measured on v5e: 256-group blocks fit and
@@ -148,20 +149,25 @@ def stage_d(params: FSKParams, state, bits, amps, ratios, means,
     # halved per batch doubling beyond 4096.
     """Pallas stage-D; same contract as fsk_demod._stage_d.
 
-    All inputs time-major [n_ds, B]; returns (carry, (byte_vals, emits,
-    eods, fires)) with outputs [n_ds, B].
+    All inputs time-major [n_ds, B] except ``sub_amps``, the delayed
+    amplitude stream feeding the fused rolling mean (ext_amps — may be
+    longer than n_ds; only the first n_ds rows are read); returns
+    (carry, (byte_vals, emits, eods, fires)) with outputs [n_ds, B].
     """
+    from webaudio_modem_tpu.ops.fsk_demod import _means_carry
+
     n_ds, B = bits.shape
+    run_sum0, fillv0 = _means_carry(params, state)
     carry_in = (state.started, state.counter, state.sil, state.threshold,
                 state.accum, state.count, state.bsc, state.next_idx,
-                state.byte_cur, state.pos)
+                state.byte_cur, state.pos, run_sum0, fillv0)
     ints, flts = pack_carry(carry_in)
     if T_blk_groups == 0:
         T_blk_groups = _default_block_groups(B)
     gpb = min(T_blk_groups, n_ds)
     packed, ints_out, flts_out = _stage_d_call(
         params, n_ds, gpb, interpret, ints, flts,
-        bits, amps, ratios, means, gate_fill.astype(jnp.float32))
+        bits, amps, ratios, sub_amps, gate_fill.astype(jnp.float32))
     carry = unpack_carry(ints_out, flts_out)
     byte_vals = packed & 0xFF
     emits = (packed >> 8 & 1).astype(bool)
@@ -195,7 +201,7 @@ MAX_SLOTS = 64  # in-kernel compaction bound (selects per step ~ maxb)
 
 
 def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
-                    bits_ref, amps_ref, ratios_ref, means_ref,
+                    bits_ref, amps_ref, ratios_ref, sub_ref,
                     sti_ref, stf_ref, fill_ref, out_ref, sti_out,
                     stf_out, scr_i, scr_f, acc):
     from webaudio_modem_tpu.ops.fsk_demod import _d_step
@@ -229,10 +235,10 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
     UNROLL = 4
 
     def one_step(i, carry, accs, inp4):
-        bits_t, amps_t, ratios_t, means_t = inp4
+        bits_t, amps_t, ratios_t, sub_t = inp4
         gate = (base + i + 1 + fill) >= W
         carry, (byte_i32, emit, eod, fire) = _d_step(
-            params, carry, (bits_t, amps_t, ratios_t, means_t, gate))
+            params, carry, (bits_t, amps_t, ratios_t, sub_t, gate))
         slots = list(accs[:maxb])
         cursor = accs[maxb]
         for j in range(maxb):
@@ -253,11 +259,11 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
         slab_b = bits_ref[pl.ds(i0, UNROLL)]
         slab_a = amps_ref[pl.ds(i0, UNROLL)]
         slab_r = ratios_ref[pl.ds(i0, UNROLL)]
-        slab_m = means_ref[pl.ds(i0, UNROLL)]
+        slab_s = sub_ref[pl.ds(i0, UNROLL)]
         for u in range(UNROLL):
             carry, accs = one_step(
                 i0 + u, carry, accs,
-                (slab_b[u], slab_a[u], slab_r[u], slab_m[u]))
+                (slab_b[u], slab_a[u], slab_r[u], slab_s[u]))
         return carry, accs
 
     carry, accs = jax.lax.fori_loop(0, n_main, body_u, (carry0, acc0))
@@ -266,7 +272,7 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
         carry, accs = state
         return one_step(i, carry, accs,
                         (bits_ref[i], amps_ref[i], ratios_ref[i],
-                         means_ref[i]))
+                         sub_ref[i]))
 
     carry, accs = jax.lax.fori_loop(n_main * UNROLL, count, body_tail,
                                     (carry, accs))
@@ -289,7 +295,7 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _stage_d_compact_call(params: FSKParams, n_ds: int, gpb: int,
                           maxb: int, interpret: bool,
-                          ints, flts, bits, amps, ratios, means,
+                          ints, flts, bits, amps, ratios, sub_amps,
                           bit_fill):
     rows = bits.shape[-1] // LANES
 
@@ -325,7 +331,7 @@ def _stage_d_compact_call(params: FSKParams, n_ds: int, gpb: int,
             pltpu.VMEM((maxb + 4, rows, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(r3(bits), r3(amps), r3(ratios), r3(means),
+    )(r3(bits), r3(amps), r3(ratios), r3(sub_amps),
       ints.reshape(N_I32, rows, LANES),
       flts.reshape(N_F32, rows, LANES),
       bit_fill.reshape(1, rows, LANES))
@@ -334,27 +340,32 @@ def _stage_d_compact_call(params: FSKParams, n_ds: int, gpb: int,
             ints_out.reshape(N_I32, B), flts_out.reshape(N_F32, B))
 
 
-def stage_d_compact(params: FSKParams, state, bits, amps, ratios, means,
-                    maxb: int, T_blk_groups: int = 0,
+def stage_d_compact(params: FSKParams, state, bits, amps, ratios,
+                    sub_amps, maxb: int, T_blk_groups: int = 0,
                     interpret: bool = False):
     """Pallas stage-D with IN-KERNEL byte compaction.
 
-    Returns (carry, (bytes_out [B, maxb] int32, byte_count [B],
-    eod_fired [B], sync_fired [B], fire_t [B] — last fire position or
-    -1)) — the exact aggregates demod_chunk needs, with no [n_ds, B]
+    ``sub_amps`` is the delayed amplitude stream for the fused rolling
+    mean (ext_amps; may be longer than n_ds — only the first n_ds rows
+    are read).  Returns (carry, (bytes_out [B, maxb] int32, byte_count
+    [B], eod_fired [B], sync_fired [B], fire_t [B] — last fire position
+    or -1)) — the exact aggregates demod_chunk needs, with no [n_ds, B]
     output plane.
     """
+    from webaudio_modem_tpu.ops.fsk_demod import _means_carry
+
     n_ds, B = bits.shape
+    run_sum0, fillv0 = _means_carry(params, state)
     carry_in = (state.started, state.counter, state.sil, state.threshold,
                 state.accum, state.count, state.bsc, state.next_idx,
-                state.byte_cur, state.pos)
+                state.byte_cur, state.pos, run_sum0, fillv0)
     ints, flts = pack_carry(carry_in)
     if T_blk_groups == 0:
         T_blk_groups = _default_block_groups(B)
     gpb = min(T_blk_groups, n_ds)
     out, ints_out, flts_out = _stage_d_compact_call(
         params, n_ds, gpb, maxb, interpret, ints, flts,
-        bits, amps, ratios, means, state.bit_fill)
+        bits, amps, ratios, sub_amps, state.bit_fill)
     carry = unpack_carry(ints_out, flts_out)
     bytes_out = out[:maxb].T           # [B, maxb]
     byte_count = out[maxb]

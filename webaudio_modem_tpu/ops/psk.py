@@ -326,7 +326,6 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
     ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
     ratios = _fd._sync_ratios(params, ext_bits)
-    means = _fd._amp_means(params, state, ext_amps, n_ds)
 
     # Stage D + byte compaction: same dispatch as the FSK family —
     # compact Pallas kernel in VMEM on TPU (emits [maxb+4, B]
@@ -339,14 +338,15 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
     if use_compact:
         d_carry, (bytes_i32, byte_count, eod_fired, sync_fired,
                   fire_t) = fsk_framing.stage_d_compact(
-            params, state, bits, amps, ratios, means, maxb)
+            params, state, bits, amps, ratios, ext_amps, maxb)
         bytes_out = bytes_i32.astype(jnp.uint8)
     else:
         t = jnp.arange(1, n_ds + 1, dtype=jnp.int32)
         gate_fill = (t[:, None] + state.bit_fill[None, :]) >= \
             jnp.int32(params.sync_window)
         d_carry, (byte_vals, emits, eods, fires) = _fd._stage_d(
-            params, state, bits, amps, ratios, means, gate_fill)
+            params, state, bits, amps, ratios, ext_amps[:n_ds],
+            gate_fill)
         t_idx = jnp.arange(bits.shape[0], dtype=jnp.int32)[:, None]
         fire_t = jnp.max(jnp.where(fires, t_idx, jnp.int32(-1)), axis=0)
         positions = jnp.cumsum(emits.astype(jnp.int32), axis=0) - 1
@@ -359,7 +359,7 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
         eod_fired = eods.astype(jnp.int32).sum(0)
         sync_fired = fires.astype(jnp.int32).sum(0)
     (started_i, counter, sil, threshold, accum, count, bsc, next_idx,
-     byte_cur, pos) = d_carry
+     byte_cur, pos) = d_carry[:10]
 
     # SignalQuality accumulators — shared helper with the FSK family
     (last_sync_ratio, q_win_sum, q_win_sumsq,
