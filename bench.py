@@ -21,12 +21,20 @@ import numpy as np
 def main():
     import jax
 
-    try:  # persistent compile cache: repeat runs skip remote recompiles
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/wam_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    # Persistent compile cache ONLY for the (remote-compiled) TPU
+    # backend: CPU runs sharing the dir load AOT entries compiled with
+    # mismatched machine features (cpu_aot_loader warns of SIGILL), and
+    # XLA:CPU cache (de)serialization itself has crashed under load
+    # (CLAUDE.md "Suite stability").
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/wam_jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
@@ -39,6 +47,8 @@ def main():
     # scales by B exactly as a deployment would.
     B = int(sys.argv[sys.argv.index("--batch") + 1]) \
         if "--batch" in sys.argv else 2048
+    family = sys.argv[sys.argv.index("--family") + 1] \
+        if "--family" in sys.argv else "fsk"
     chunk_t = 4800          # 0.1 s of 48 kHz audio per step
     # 40 s of audio timed per pass: the chip is reached through a
     # tunnel whose one-time dispatch latency (~28 ms) would otherwise
@@ -47,9 +57,21 @@ def main():
     # artifact below 1% without changing what is measured
     # (steady-state streaming demod at 0.1 s quanta).
     timed_chunks = 400
-    config = FSKConfig(baud_rate=300, mark_frequency=1270,
-                       space_frequency=1070)
-    params = FSKParams.from_config(config)
+    if family == "psk":
+        # DBPSK farm headline (secondary; the driver metric stays FSK):
+        # python bench.py --family psk
+        from webaudio_modem_tpu.models.farm import _resolve_family
+        from webaudio_modem_tpu.models.psk import PSKConfig
+
+        config = PSKConfig()        # 1200 baud, 1800 Hz carrier
+        ops, params = _resolve_family(config)
+        modulate_one = lambda p, m: ops.modulate_batch(p, [m])[0]  # noqa: E731
+    else:
+        config = FSKConfig(baud_rate=300, mark_frequency=1270,
+                           space_frequency=1070)
+        params = FSKParams.from_config(config)
+        ops = None
+        modulate_one = fsk_mod.modulate
     message = b"Hello, World!"
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
@@ -57,7 +79,7 @@ def main():
     # one message signal, tiled across channels ON DEVICE (uploading
     # [B, T] chunks over the wire would dominate setup time) and
     # streamed cyclically
-    sig = np.asarray(fsk_mod.modulate(params, message))
+    sig = np.asarray(modulate_one(params, message))
     reps = int(np.ceil(chunk_t * 2 / len(sig))) + 1
     loop = np.tile(sig, reps)
     n_chunks_cycle = len(loop) // chunk_t
@@ -66,8 +88,12 @@ def main():
               for i in range(n_chunks_cycle)]
     jax.block_until_ready(chunks)
 
-    state = fsk_demod.init_state(params, batch=B)
-    step = fsk_demod.make_demod_chunk(params, 0, donate=True)
+    if family == "psk":
+        from webaudio_modem_tpu.ops import psk as family_ops
+    else:
+        family_ops = fsk_demod
+    state = family_ops.init_state(params, batch=B)
+    step = family_ops.make_demod_chunk(params, 0, donate=True)
 
     # warmup / compile + correctness GATE: the first full message must
     # decode EXACTLY on multiple channels — a pipeline that syncs but
@@ -101,7 +127,7 @@ def main():
     @functools.partial(jax.jit, donate_argnums=0)
     def run_group(st, stk, idxs):
         def body(st, i):
-            st, out = fsk_demod.demod_chunk(params, 0, st, stk[i])
+            st, out = family_ops.demod_chunk(params, 0, st, stk[i])
             return st, out.byte_count
         return jax.lax.scan(body, st, idxs)
 
@@ -137,12 +163,15 @@ def main():
           f"syncs(ch0)={syncs}", file=sys.stderr)
     # the timed pipeline includes the full SignalQuality surface
     # (the reference stubs it; costs ~8% — docs/PERFORMANCE.md)
-    ber, freq, jitter, eye = fsk_demod.quality_from_state(params, state)
+    ber, freq, jitter, eye = fsk_demod.quality_from_state(
+        params, state, family=family)
     print(f"quality(ch0): ber={ber[0]:.4f} freq_offset={freq[0]:+.2f}Hz "
           f"jitter={jitter[0]:.4f} eye={eye[0]:.2f}", file=sys.stderr)
 
+    metric = ("concurrent_300baud_channels_realtime" if family == "fsk"
+              else "concurrent_1200baud_psk_channels_realtime")
     print(json.dumps({
-        "metric": "concurrent_300baud_channels_realtime",
+        "metric": metric,
         "value": round(channels_realtime, 1),
         "unit": "channels",
         "vs_baseline": round(channels_realtime / 4096.0, 3),

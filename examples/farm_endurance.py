@@ -37,13 +37,20 @@ async def run(batch: int, rounds: int, payload_size: int,
               timeout_ms: float) -> int:
     import jax
 
-    try:  # persistent compile cache: repeat runs skip remote recompiles
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/wam_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0.5)
-    except Exception:
-        pass
+    # Persistent compile cache ONLY for the (remote-compiled) TPU
+    # backend: CPU runs sharing the dir load AOT entries compiled with
+    # mismatched machine features (cpu_aot_loader warns of SIGILL), and
+    # XLA:CPU cache (de)serialization itself has crashed under load
+    # (CLAUDE.md "Suite stability").
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/wam_jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
 
     from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
     from webaudio_modem_tpu.runtime.device_hub import DeviceFarmHub

@@ -179,12 +179,21 @@ def main() -> int:
                     help="subset of check names to run")
     args = ap.parse_args()
 
-    try:  # persistent compile cache for repeat runs
-        import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/wam_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    import jax
+    # Persistent compile cache ONLY for the (remote-compiled) TPU
+    # backend: CPU runs sharing the dir load AOT entries compiled with
+    # mismatched machine features (cpu_aot_loader warns of SIGILL), and
+    # XLA:CPU cache (de)serialization itself has crashed under load
+    # (CLAUDE.md "Suite stability").
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/wam_jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
 
     results = []
     ok_all = True

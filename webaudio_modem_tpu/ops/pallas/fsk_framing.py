@@ -231,7 +231,8 @@ def _kernel_compact(params: FSKParams, n_ds: int, gpb: int, maxb: int,
     # Accumulators ride the fori carry (registers), not scratch — the
     # slot updates would otherwise cost 2*maxb VMEM touches per step.
     # UNROLL amortizes the dynamic-index stream loads over slabs, same
-    # trick as the sequential kernel.
+    # trick as the sequential kernel.  (8 measured flat on v5e — the
+    # kernel is VPU-loop-bound, not load-amortization-bound.)
     UNROLL = 4
 
     def one_step(i, carry, accs, inp4):

@@ -204,7 +204,7 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
         if B <= 2048:
             T_blk = 256
         elif B <= 4096:
-            T_blk = 192
+            T_blk = 192   # r3: 128 re-measured worse (194k vs 217k)
         else:
             T_blk = max(64 * 8192 // B, 4 * ratio)
     T_blk = min(T_blk, max(T_m, ratio))
