@@ -264,3 +264,54 @@ class TestSyncRatioEquivalence:
             conv = np.asarray(_sync_ratios_conv(params, jnp.asarray(ext)))
             np.testing.assert_allclose(mxu, conv, atol=1e-6,
                                        err_msg=f"{baud} {n_ds}")
+
+    def test_band_bit_identical_to_cumsum(self):
+        # the single-matmul Toeplitz band form (the default dispatch)
+        # must be BIT-identical to the cumsum fallback for any ds,
+        # including bf16 bit planes (the planes the pipeline feeds it)
+        import jax.numpy as jnp
+
+        from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
+        from webaudio_modem_tpu.ops.fsk_demod import (
+            _sync_ratios_band, _sync_ratios_cumsum)
+
+        rng = np.random.RandomState(11)
+        cases = [(300, 480), (300, 137), (1200, 600), (1200, 1),
+                 (2400, 977), (45, 30)]
+        for baud, n_ds in cases:
+            params = FSKParams.from_config(FSKConfig(baud_rate=baud))
+            ext = (rng.uniform(size=(params.sync_window + n_ds, 5)) > 0.5
+                   ).astype(np.float32)
+            for dtype in (jnp.float32, jnp.bfloat16):
+                band = np.asarray(_sync_ratios_band(
+                    params, jnp.asarray(ext, dtype)))
+                cs = np.asarray(_sync_ratios_cumsum(
+                    params, jnp.asarray(ext, dtype)))
+                assert np.array_equal(band, cs), (baud, n_ds, dtype)
+
+    def test_from_r_bit_identical_to_cumsum(self):
+        # stage C over carried sliding block sums (the fused-R path)
+        # must equal the ext_bits formulations exactly
+        import jax.numpy as jnp
+
+        from webaudio_modem_tpu.models.config import FSKConfig, FSKParams
+        from webaudio_modem_tpu.ops.fsk_demod import (
+            _sync_ratios_cumsum, _sync_ratios_from_r)
+
+        rng = np.random.RandomState(13)
+        for baud, n_ds in [(300, 2400), (300, 137), (1200, 600),
+                           (1200, 1), (2400, 977)]:
+            params = FSKParams.from_config(FSKConfig(baud_rate=baud))
+            ds = params.ds_samples_per_bit
+            W = params.sync_window
+            ext = (rng.uniform(size=(W + n_ds, 4)) > 0.5
+                   ).astype(np.float32)
+            cs = np.concatenate(
+                [np.zeros((1, 4), np.float32), np.cumsum(ext, 0)], 0)
+            idx = np.arange(ds, W + n_ds)
+            r_ext = cs[idx + 1] - cs[idx + 1 - ds]
+            ref = np.asarray(_sync_ratios_cumsum(params,
+                                                 jnp.asarray(ext)))
+            got = np.asarray(_sync_ratios_from_r(
+                params, jnp.asarray(r_ext, jnp.bfloat16)))
+            assert np.array_equal(got, ref), (baud, n_ds)

@@ -184,3 +184,78 @@ def test_dtype_migration_cast_on_load():
     assert restored.bit_tail.dtype == state.bit_tail.dtype
     for ref, got in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         assert ref.dtype == got.dtype
+
+
+def test_pre_r_tail_checkpoint_migrates(tmp_path):
+    # snapshots taken before the carried sliding block-sum plane
+    # (r_tail) must still load: the loader derives r_tail from the
+    # saved bit_tail and the resumed stream stays bit-identical
+    import io
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+    from webaudio_modem_tpu.models import checkpoint as cp
+    from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    sig = np.asarray(fsk_mod.modulate(params, b"migrate me"))
+    pad = np.zeros(((-len(sig)) % 480) + 480, np.float32)
+    sig = np.concatenate([sig, pad])
+    chunks = sig.reshape(-1, 480)
+    state = fsk_demod.init_state(params, 2)
+    mid = len(chunks) // 2
+    pre = bytearray()
+    for i in range(mid):
+        state, o = fsk_demod.demod_chunk(params, 0, state,
+                                         jnp.asarray(np.tile(
+                                             chunks[i], (2, 1))))
+        c = int(np.asarray(o.byte_count)[0])
+        pre += bytes(np.asarray(o.bytes_out)[0, :c])
+
+    blob = cp.dumps_state(state, DEFAULT_FSK_CONFIG, ds_phase=0)
+
+    # rewrite the npz WITHOUT the r_tail leaf (the pre-migration
+    # layout), renumbering the remaining leaves
+    paths = jax.tree_util.tree_flatten_with_path(state)[0]
+    names = ["/".join(str(getattr(k, "name", k)) for k in p)
+             for p, _ in paths]
+    r_idx = names.index("r_tail")
+    with np.load(io.BytesIO(blob)) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+    old_bf16 = set(meta["bf16_leaves"])
+    del leaves[r_idx]
+    new_bf16 = []
+    arrays = {}
+    for i, a in enumerate(leaves):
+        src = i if i < r_idx else i + 1
+        if f"leaf_{src}" in old_bf16:
+            new_bf16.append(f"leaf_{i}")
+        arrays[f"leaf_{i}"] = a
+    meta["n_leaves"] = len(leaves)
+    meta["bf16_leaves"] = new_bf16
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+    restored, config, phase = cp.loads_state(buf.getvalue())
+    np.testing.assert_array_equal(
+        np.asarray(restored.r_tail), np.asarray(state.r_tail))
+
+    # resumed stream == uninterrupted stream, byte-identical
+    def drain(st, start):
+        out = bytearray()
+        for i in range(start, len(chunks)):
+            st, o = fsk_demod.demod_chunk(params, 0, st,
+                                          jnp.asarray(np.tile(
+                                              chunks[i], (2, 1))))
+            c = int(np.asarray(o.byte_count)[0])
+            out += bytes(np.asarray(o.bytes_out)[0, :c])
+        return bytes(out)
+
+    resumed = drain(restored, mid)
+    assert resumed == drain(state, mid)
+    assert b"migrate me" in bytes(pre) + resumed

@@ -82,3 +82,45 @@ def test_pallas_streaming_state_carry():
 
 def test_available_requires_tile_multiple():
     assert not fsk_seq.available(100)
+
+
+def test_pallas_rsum_matches_lax():
+    # the R-emitting kernel variant (fused sliding ds-wide bit sums)
+    # must match the lax with_rsum path bit-for-bit in bits AND rsum,
+    # across a carried ring seeded from a non-trivial bit_tail
+    from webaudio_modem_tpu.ops import fsk_mod
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = fsk_seq.TILE
+    rng = np.random.RandomState(7)
+    sig = np.asarray(fsk_mod.modulate(params, b"ring"))
+    T = 1024
+    x = (np.tile(sig[:T], (B, 1))
+         + rng.normal(0, 0.01, (B, T))).astype(np.float32)
+    state = fsk_demod.init_state(params, B)._replace(
+        bit_tail=jnp.asarray(
+            rng.randint(0, 2, (params.sync_window, B)), jnp.bfloat16))
+
+    prev = fsk_demod.FORCE_LAX_SEQ
+    fsk_demod.FORCE_LAX_SEQ = True
+    try:
+        out_l = fsk_demod._sequential_stage(
+            params, 0, state, jnp.asarray(x), unroll=2, with_rsum=True)
+    finally:
+        fsk_demod.FORCE_LAX_SEQ = prev
+    bits_l, rsum_l = np.asarray(out_l[4]), np.asarray(out_l[7])
+
+    fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
+    dsc = (state.last_phase, state.post)
+    ds = params.ds_samples_per_bit
+    _, _, bits_p, _, _, rsum_p = fsk_seq.seq_main(
+        params, fr, dsc, jnp.asarray(x).T, T_blk=256, interpret=True,
+        ring0=state.bit_tail[-ds:])
+    np.testing.assert_array_equal(bits_l, np.asarray(bits_p))
+    np.testing.assert_array_equal(rsum_l, np.asarray(rsum_p))
+    # rsum really is the sliding ds-wide sum over (ring ++ bits)
+    ext = np.concatenate(
+        [np.asarray(state.bit_tail[-ds:], np.float32), bits_l], 0)
+    cs = np.cumsum(ext, 0)
+    np.testing.assert_array_equal(rsum_l, (cs[ds:] - cs[:-ds]).astype(
+        rsum_l.dtype))

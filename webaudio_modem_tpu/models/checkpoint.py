@@ -95,15 +95,35 @@ def load_state(path_or_file, mesh=None) -> Tuple[object, object, int]:
         batch = int(data["leaf_0"].shape[0])  # agc_gain [B], both families
         template = ops.init_state(params, batch)
         leaves, treedef = jax.tree.flatten(template)
-        if len(leaves) != meta["n_leaves"]:
-            raise ValueError(
-                f"checkpoint leaf-count mismatch: {meta['n_leaves']} vs "
-                f"{len(leaves)} — family/state layout changed?")
         bf16 = set(meta.get("bf16_leaves", ()))
         restored = [
             data[f"leaf_{i}"].view(np.dtype(jax.numpy.bfloat16))
             if f"leaf_{i}" in bf16 else data[f"leaf_{i}"]
             for i in range(meta["n_leaves"])]
+        if (meta["n_leaves"] == len(leaves) - 1
+                and meta.get("family", "fsk") == "fsk"):
+            # migration: snapshots predating the carried sliding
+            # block-sum plane (r_tail) — DERIVE it from the saved
+            # bit_tail: r_tail[k] = R(ds + k) = Σ bit_tail[k+1 .. k+ds]
+            # (exact integer counts), restoring bit-identical streams.
+            flat_paths = jax.tree_util.tree_flatten_with_path(
+                template)[0]
+            names = ["/".join(str(getattr(k, "name", k))
+                              for k in path)
+                     for path, _ in flat_paths]
+            r_idx = names.index("r_tail")
+            b_idx = names.index("bit_tail")
+            ds = params.ds_samples_per_bit
+            bt = np.asarray(restored[b_idx if b_idx < r_idx
+                                     else b_idx - 1], np.float32)
+            cs = np.cumsum(bt, axis=0)
+            r_tail = (cs[ds:] - cs[:-ds]).astype(
+                np.dtype(jax.numpy.bfloat16))
+            restored = restored[:r_idx] + [r_tail] + restored[r_idx:]
+        if len(restored) != len(leaves):
+            raise ValueError(
+                f"checkpoint leaf-count mismatch: {meta['n_leaves']} vs "
+                f"{len(leaves)} — family/state layout changed?")
         for ref, got in zip(leaves, restored):
             if ref.shape != got.shape:
                 raise ValueError(

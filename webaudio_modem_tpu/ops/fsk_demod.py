@@ -95,6 +95,15 @@ class DemodState(NamedTuple):
     # channels ride the 128-wide lane axis, time the sublane axis, so
     # window shifts and cumsums never transpose.
     bit_tail: jax.Array        # bf16 [W, B]  last W sliced bits (0/1)
+    # carried sliding ds-wide bit sums R(i) for the W-ds ext positions
+    # preceding the next chunk (R <= ds <= 256 — exact in bf16).  The
+    # seq kernel emits R as a rolling carry (add the new bit, subtract
+    # the bit leaving the ds window via an in-kernel ring seeded from
+    # bit_tail[-ds:]), which collapses the sync correlation's sliding
+    # block-sum stage into the sequential loop; stage C is then ONE
+    # band matmul over a reshape (_sync_ratios_from_r).  Derivable
+    # from bit_tail (checkpoint migration does exactly that).
+    r_tail: jax.Array          # bf16 [W - ds, B]
     amp_tail: jax.Array        # f32 [A, B]  last A amplitudes
     bit_fill: jax.Array        # i32 [B]  bits seen since configure/reset
     amp_fill: jax.Array        # i32 [B]  amps seen since configure
@@ -145,6 +154,9 @@ def init_state(params: FSKParams, batch: int = 1) -> DemodState:
         ds_iacc=z(), ds_qacc=z(),
         last_phase=z(), post=biq(),
         bit_tail=jnp.zeros((params.sync_window, batch), jnp.bfloat16),
+        r_tail=jnp.zeros(
+            (params.sync_window - params.ds_samples_per_bit, batch),
+            jnp.bfloat16),
         amp_tail=jnp.zeros((params.amp_window, batch), jnp.float32),
         bit_fill=zi(), amp_fill=zi(),
         started=zb(), counter=zi(), sil=zi(),
@@ -288,7 +300,7 @@ def _group_step(params: FSKParams, carry, x_group, atan2=jnp.arctan2):
 
 
 def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
-                      x, unroll: int = 0):
+                      x, unroll: int = 0, with_rsum: bool = False):
     """Run all sequential recurrences over [B, T].
 
     Returns (fr_state, dsc_state, ds_iacc, ds_qacc, bits [n_ds, B],
@@ -296,14 +308,23 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     is the analog post-filtered phase diff feeding SignalQuality.
     ``ds_phase`` (static) = samples already pending in the downsample
     accumulator; tracked host-side (data-independent).
+
+    With ``with_rsum`` an 8th output is appended: the sliding
+    ds_samples_per_bit-wide bit sums ``rsum [n_ds, B]`` bf16 (exact
+    integers <= ds), stream-continuous via ``state.bit_tail[-ds:]`` —
+    the sync correlation's block-sum stage, fused into the sequential
+    loop on the Pallas path and computed by an exact cumsum otherwise.
     """
     unroll = unroll or _default_unroll()
     B, T = x.shape
     ratio = params.downsample_ratio
+    ds = params.ds_samples_per_bit
     xT = x.T  # single layout change; everything downstream is time-major
     fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
     dsc = (state.last_phase, state.post)
     bits_parts, amps_parts, soft_parts = [], [], []
+    ring = state.bit_tail[-ds:] if with_rsum else None
+    r_parts = []     # rsum rows matching bits_parts (hybrid stitching)
     pos = 0
 
     # prefix: complete the pending group carried from the last chunk
@@ -316,17 +337,29 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
                 acc_i = acc_i + fi
                 acc_q = acc_q + fq
             empty = jnp.zeros((0, B), x.dtype)
-            return (fr, dsc, acc_i, acc_q,
-                    jnp.zeros((0, B), jnp.bfloat16), empty, empty)
+            out = (fr, dsc, acc_i, acc_q,
+                   jnp.zeros((0, B), jnp.bfloat16), empty, empty)
+            if with_rsum:
+                out = out + (jnp.zeros((0, B), jnp.bfloat16),)
+            return out
         for t in range(need):
             fr, fi, fq = _full_rate_step(params, fr, xT[t])
             acc_i = acc_i + fi
             acc_q = acc_q + fq
         dsc, bit, amp, soft = _ds_decision(params, dsc,
                                            acc_i / ratio, acc_q / ratio)
-        bits_parts.append(bit.astype(jnp.bfloat16)[None, :])
+        bit16 = bit.astype(jnp.bfloat16)
+        bits_parts.append(bit16[None, :])
         amps_parts.append(amp[None, :])
         soft_parts.append(soft[None, :])
+        if with_rsum:
+            # rolling update for the single prefix decision: add the
+            # new bit, drop the one leaving the ds window (exact f32
+            # integer arithmetic), and shift the ring by one
+            r_new = (jnp.sum(ring.astype(jnp.float32), 0) + bit
+                     - ring[0].astype(jnp.float32))
+            r_parts.append(r_new.astype(jnp.bfloat16)[None, :])
+            ring = jnp.concatenate([ring[1:], bit16[None, :]], 0)
         pos = need
 
     n_groups = (T - pos) // ratio
@@ -337,7 +370,14 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
 
         if fsk_seq.available(B):
             xm = xT[pos:pos + n_groups * ratio]
-            fr, dsc, bm, am, sm = fsk_seq.seq_main(params, fr, dsc, xm)
+            if with_rsum:
+                run0 = jnp.sum(ring.astype(jnp.float32), 0)
+                fr, dsc, bm, am, sm, rm = fsk_seq.seq_main(
+                    params, fr, dsc, xm, ring0=ring, run0=run0)
+                r_parts.append(rm)
+            else:
+                fr, dsc, bm, am, sm = fsk_seq.seq_main(params, fr, dsc,
+                                                       xm)
             bits_parts.append(bm)
             amps_parts.append(am)
             soft_parts.append(sm)
@@ -388,7 +428,20 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     else:
         bits = jnp.zeros((0, B), jnp.bfloat16)
         amps = softs = jnp.zeros((0, B), x.dtype)
-    return fr, dsc, acc_i, acc_q, bits, amps, softs
+    if not with_rsum:
+        return fr, dsc, acc_i, acc_q, bits, amps, softs
+    # rsum for any rows the kernel/prefix didn't cover (the lax.scan
+    # main + remainder — CPU or FORCE_LAX_SEQ): exact cumsum over the
+    # ring + those bits (integer counts, exact in f32)
+    covered = sum(int(p.shape[0]) for p in r_parts)
+    if bits.shape[0] > covered:
+        rest = bits[covered:].astype(jnp.float32)
+        ext80 = jnp.concatenate([ring.astype(jnp.float32), rest], 0)
+        cs = jnp.cumsum(ext80, 0)
+        r_parts.append((cs[ds:] - cs[:-ds]).astype(jnp.bfloat16))
+    rsum = (jnp.concatenate(r_parts, 0) if r_parts
+            else jnp.zeros((0, B), jnp.bfloat16))
+    return fr, dsc, acc_i, acc_q, bits, amps, softs, rsum
 
 
 # ---------------------------------------------------------------------------
@@ -444,13 +497,74 @@ def _sync_ratios(params: FSKParams, ext_bits):
     Returns ratio [n_ds, B] — identical values to the reference's
     per-position matched/total computation (fsk.ts:302-314).
 
-    Dispatches to the MXU formulation (integer-exact, ~3 memory
-    passes) when the downsample rate allows exact bf16 block sums;
-    otherwise the cumsum block-sum fallback.
+    Dispatches to the single-matmul band formulation when its Toeplitz
+    constant stays small enough to embed (the practical case), else the
+    two-matmul block form (ds <= 256), else the cumsum fallback.
     """
+    W = params.sync_window
+    n_ds = ext_bits.shape[0] - W
+    # dense [n_ds, W + n_ds] bf16 constant; cap its footprint so very
+    # low-baud configs (huge W) or very long chunks fall back
+    if n_ds * (W + n_ds) * 2 <= _BAND_CONST_MAX_BYTES:
+        return _sync_ratios_band(params, ext_bits)
     if params.ds_samples_per_bit <= 256:
         return _sync_ratios_mxu(params, ext_bits)
     return _sync_ratios_cumsum(params, ext_bits)
+
+
+_BAND_CONST_MAX_BYTES = 8 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=64)
+def _sync_band_const(params: FSKParams, n_ds: int) -> Tuple[np.ndarray,
+                                                            int]:
+    """Toeplitz ±1 band matrix C with matched = C @ ext_bits + const.
+
+    The window at output t covers ext_bits[t+1 .. t+W], position w
+    (0 = oldest) compared against pattern[n_pat - (W-1-w)//ds] with the
+    newest ds block out-of-bounds and never matching (fsk.ts:306-307).
+    In ±1 form each valid position contributes s_w * bit plus a
+    constant: matched(t) = Σ_w s_w·ext[t+1+w] + n_zero_blocks·ds where
+    s_w = +1 for pattern bit 1, -1 for pattern bit 0 (a 0-pattern
+    position matches when the bit is 0: 1-b = -b + 1).  C[t, t+1+w]
+    = s_w — one banded matrix, so the whole correlation is ONE MXU
+    contraction over W+n_ds with no intermediate plane (the two-matmul
+    block form contracts only over ds per pass and pays an extra
+    [Nb, ds, B] round trip).
+    Returns (C [n_ds, W + n_ds] float32, n_zero_blocks).
+    """
+    ds = params.ds_samples_per_bit
+    n_pat = len(params.pattern_bits)
+    W = params.sync_window
+    L = W - ds
+    w = np.arange(L)
+    pat = np.asarray(params.pattern_bits)
+    s = np.where(pat[n_pat - (W - 1 - w) // ds] == 1,
+                 np.float32(1), np.float32(-1))
+    C = np.zeros((n_ds, W + n_ds), np.float32)
+    rows = np.repeat(np.arange(n_ds), L)
+    cols = (np.arange(n_ds)[:, None] + 1 + w[None, :]).ravel()
+    C[rows, cols] = np.tile(s, n_ds)
+    n_zero = sum(1 for j in range(1, n_pat)
+                 if params.pattern_bits[n_pat - j] == 0)
+    return C, n_zero
+
+
+def _sync_ratios_band(params: FSKParams, ext_bits):
+    """Sync correlation as ONE exact bf16 band matmul on the MXU.
+
+    Products s·bit ∈ {-1, 0, 1} are exact in bf16 and the MXU
+    accumulates in f32 (|matched| <= W < 2^24), so the result is
+    bit-identical to the block/cumsum forms for ANY ds.  Time-major in
+    and out — no transposes (the conv formulation's downfall)."""
+    W = params.sync_window
+    ds = params.ds_samples_per_bit
+    n_ds = ext_bits.shape[0] - W
+    C_np, n_zero = _sync_band_const(params, n_ds)
+    matched = jnp.dot(jnp.asarray(C_np, jnp.bfloat16),
+                      ext_bits.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return (matched + jnp.float32(n_zero * ds)) / W
 
 
 def _sync_ratios_mxu(params: FSKParams, ext_bits):
@@ -512,6 +626,71 @@ def _sync_ratios_mxu(params: FSKParams, ext_bits):
                     preferred_element_type=jnp.float32)
     matched = m3.reshape(n_tau * ds, B)[:n_ds] + \
         jnp.float32(n_zero_blocks * ds)
+    return matched / W
+
+
+@functools.lru_cache(maxsize=64)
+def _sync_sign_const(params: FSKParams, n_tau: int) -> Tuple[np.ndarray,
+                                                             int]:
+    """±1 pattern-sign band matrix for the R-based sync correlation.
+
+    sign2[tau, m] applies to the blocked sliding-sum view
+    r3v[m, phi] = r_ext[m*ds + phi] (r_ext[k] = R(ext index ds + k)):
+    matched(tau*ds + phi) = Σ_m sign2[tau, m]·r3v[m, phi] + n_zero·ds,
+    with m = n_pat-1-j+tau for pattern blocks j = 1..n_pat-1 and the
+    sign of pattern_bits[n_pat - j] (a 0-pattern block matches when
+    its R is low: contributes ds - R).  fsk.ts:302-314 semantics, the
+    j == 0 block OOB-never-matches quirk included (it has no m).
+    Returns (sign2 [n_tau, n_tau + n_pat - 2] f32, n_zero_blocks).
+    """
+    n_pat = len(params.pattern_bits)
+    M = n_tau + n_pat - 2
+    sign2 = np.zeros((n_tau, M), np.float32)
+    for tau in range(n_tau):
+        for j in range(1, n_pat):
+            sign2[tau, n_pat - 1 - j + tau] = (
+                1.0 if params.pattern_bits[n_pat - j] else -1.0)
+    n_zero = sum(1 for j in range(1, n_pat)
+                 if params.pattern_bits[n_pat - j] == 0)
+    return sign2, n_zero
+
+
+def _sync_ratios_from_r(params: FSKParams, r_ext):
+    """Sync correlation from carried sliding block sums — stage C with
+    its sliding-sum half already fused into the sequential kernel.
+
+    r_ext: time-major [W - ds + n_ds, B], r_ext[k] = R(ext index
+    ds + k) where R(i) is the ds-wide bit sum ending at i (inclusive)
+    — ``state.r_tail`` ++ the seq kernel's rsum output.  Returns ratio
+    [n_ds, B], bit-identical to _sync_ratios on the matching ext_bits:
+    R <= ds <= 256 is exact in bf16 and the ±1 sign matmul accumulates
+    exact integer f32 (|matched| <= W < 2^24).
+
+    The contraction runs over m — the MAJOR axis of a pure reshape of
+    r_ext — so the whole stage is ONE well-shaped MXU matmul
+    [n_tau, M] @ [M, ds·B] with no transposes and ~0.3 GMAC, replacing
+    the two batched block-sum einsums of _sync_ratios_mxu (~24× its
+    arithmetic) whose [Nb, ds, B] intermediates each round-tripped HBM.
+    """
+    ds = params.ds_samples_per_bit
+    n_pat = len(params.pattern_bits)
+    W = params.sync_window
+    n_ds = r_ext.shape[0] - (W - ds)
+    B = r_ext.shape[1]
+
+    n_tau = -(-n_ds // ds)
+    sign2_np, n_zero = _sync_sign_const(params, n_tau)
+    M = n_tau + n_pat - 2
+    need = M * ds
+    if r_ext.shape[0] < need:      # pad rows only discarded t consume
+        r_ext = jnp.concatenate(
+            [r_ext, jnp.zeros((need - r_ext.shape[0], B),
+                              r_ext.dtype)], 0)
+    r3v = r_ext[:need].reshape(M, ds, B).astype(jnp.bfloat16)
+    m3 = jnp.einsum("tm,mpb->tpb", jnp.asarray(sign2_np, jnp.bfloat16),
+                    r3v, preferred_element_type=jnp.float32)
+    matched = m3.reshape(n_tau * ds, B)[:n_ds] + jnp.float32(
+        n_zero * ds)
     return matched / W
 
 
@@ -818,8 +997,14 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     ``make_demod_chunk`` for the jitted, donated entry point.
     """
     B, T = samples.shape
-    fr, dsc, ds_iacc, ds_qacc, bits, amps, softs = _sequential_stage(
-        params, ds_phase, state, samples)
+    # R-fused sync path needs R exact in bf16 (R <= ds <= 256)
+    use_r = params.ds_samples_per_bit <= 256
+    seq = _sequential_stage(params, ds_phase, state, samples,
+                            with_rsum=use_r)
+    if use_r:
+        fr, dsc, ds_iacc, ds_qacc, bits, amps, softs, rsum = seq
+    else:
+        fr, dsc, ds_iacc, ds_qacc, bits, amps, softs = seq
     agc_gain, pre, phi, iq_i, iq_q = fr
     last_phase, post_state = dsc
     n_ds = bits.shape[0]  # time-major [n_ds, B]
@@ -835,9 +1020,24 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
             byte_count=zi, sync_fired=zi, eod_fired=zi,
             mean_amplitude=jnp.zeros((B,), jnp.float32))
 
-    ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
+    W = params.sync_window
+    ds = params.ds_samples_per_bit
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
-    ratios = _sync_ratios(params, ext_bits)
+    if use_r:
+        # stage C from the carried/fused sliding block sums; the bit
+        # tail stays carried (soft paths, checkpoints) but its concat
+        # is skipped when the chunk alone covers the window
+        r_ext = jnp.concatenate([state.r_tail, rsum], 0)
+        ratios = _sync_ratios_from_r(params, r_ext)
+        r_tail_new = r_ext[-(W - ds):]
+        bit_tail_new = (bits[-W:] if n_ds >= W else
+                        jnp.concatenate([state.bit_tail, bits],
+                                        0)[-W:])
+    else:
+        ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
+        ratios = _sync_ratios(params, ext_bits)
+        r_tail_new = state.r_tail
+        bit_tail_new = ext_bits[-W:]
 
     # Stage D + byte compaction.  On TPU with a lane-aligned batch the
     # compact Pallas kernel does both inside VMEM and emits only
@@ -889,7 +1089,7 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
         agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
         ds_iacc=ds_iacc, ds_qacc=ds_qacc,
         last_phase=last_phase, post=post_state,
-        bit_tail=ext_bits[-params.sync_window:],
+        bit_tail=bit_tail_new, r_tail=r_tail_new,
         amp_tail=ext_amps[-params.amp_window:],
         bit_fill=jnp.minimum(state.bit_fill + n_ds,
                              jnp.int32(2 ** 30)),

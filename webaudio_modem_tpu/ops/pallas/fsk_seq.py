@@ -127,6 +127,103 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
         state_out_ref[...] = scratch[...]
 
 
+def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
+              x_ref, state_in_ref, ring_in_ref, bits_ref, amps_ref,
+              softs_ref, rbits_ref, state_out_ref, scratch, ring_scr,
+              run_scr):
+    """Variant emitting the sliding ds-wide bit sums R as a 4th stream.
+
+    R(i) = R(i-1) + b(i) - b(i-ds) rides the sequential loop as a
+    rolling carry — the sync correlation's block-sum stage for free
+    (same fusion trick as the framing kernel's rolling amp mean).  The
+    ds-deep bit history lives in a VMEM ring seeded from
+    ``bit_tail[-ds:]`` (read position = global group index mod ds —
+    pure scalar-unit arithmetic, no VPU cost); the running sum is an
+    exact f32 integer <= ds, emitted bf16 (exact for ds <= 256).
+    """
+    from webaudio_modem_tpu.ops.fsk_demod import _group_step
+    from webaudio_modem_tpu.ops.pallas.tpu_math import atan2 as tpu_atan2
+
+    t_idx = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    ratio = params.downsample_ratio
+    ds = params.ds_samples_per_bit
+
+    @pl.when(t_idx == 0)
+    def _():
+        scratch[...] = state_in_ref[...]
+        ring_scr[...] = ring_in_ref[...]
+        run_scr[...] = jnp.sum(
+            ring_in_ref[...].astype(jnp.float32), axis=0, keepdims=True)
+
+    carry0 = _unpack_state(tuple(scratch[i] for i in range(N_STATE)))
+    run0 = run_scr[0]
+
+    base = t_idx * groups_per_block
+    count = jnp.minimum(groups_per_block, n_groups - base)
+
+    UNROLL = 4
+    n_main_iters = count // UNROLL
+
+    def r_step(g, run, bit):
+        # g: global group index (scalar); ring position of the bit
+        # leaving the window is g mod ds
+        rp = jax.lax.rem(g, ds)
+        old = ring_scr[pl.ds(rp, 1)][0]
+        run = run + bit - old.astype(jnp.float32)
+        ring_scr[pl.ds(rp, 1)] = bit.astype(jnp.bfloat16)[None]
+        return run
+
+    def body_u(j, state):
+        carry, run = state
+        slab = x_ref[pl.ds(j * (UNROLL * ratio), UNROLL * ratio)]
+        bits_u, amps_u, softs_u, r_u = [], [], [], []
+        g0 = base + j * UNROLL
+        for u in range(UNROLL):
+            group = tuple(slab[u * ratio + r] for r in range(ratio))
+            carry, bit, amp, soft = _group_step(params, carry, group,
+                                                atan2=tpu_atan2)
+            run = r_step(g0 + u, run, bit)
+            bits_u.append(bit)
+            amps_u.append(amp)
+            softs_u.append(soft)
+            r_u.append(run)
+        bits_ref[pl.ds(j * UNROLL, UNROLL)] = \
+            jnp.stack(bits_u).astype(jnp.bfloat16)
+        amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
+        softs_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(softs_u)
+        rbits_ref[pl.ds(j * UNROLL, UNROLL)] = \
+            jnp.stack(r_u).astype(jnp.bfloat16)
+        return carry, run
+
+    carry, run = jax.lax.fori_loop(0, n_main_iters, body_u,
+                                   (carry0, run0))
+
+    def body_tail(i, state):
+        carry, run = state
+        group = tuple(x_ref[i * ratio + r] for r in range(ratio))
+        carry, bit, amp, soft = _group_step(params, carry, group,
+                                            atan2=tpu_atan2)
+        run = r_step(base + i, run, bit)
+        bits_ref[i] = bit.astype(jnp.bfloat16)
+        amps_ref[i] = amp
+        softs_ref[i] = soft
+        rbits_ref[i] = run.astype(jnp.bfloat16)
+        return carry, run
+
+    carry, run = jax.lax.fori_loop(n_main_iters * UNROLL, count,
+                                   body_tail, (carry, run))
+
+    packed = _pack_state(*carry)
+    for i in range(N_STATE):
+        scratch[i] = packed[i]
+    run_scr[0] = run
+
+    @pl.when(t_idx == n_t - 1)
+    def _():
+        state_out_ref[...] = scratch[...]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
                    interpret: bool, packed_state, xT):
@@ -180,13 +277,75 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
     return st_out.reshape(N_STATE, B), bits, amps, softs
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
+                     interpret: bool, packed_state, xT, ring0):
+    """R-emitting variant: also takes the ds-deep bit ring seed
+    (bit_tail[-ds:], bf16 [ds, B]) and returns (packed_state', bits,
+    amps, softs, rsum [n_groups, B] bf16)."""
+    ratio = params.downsample_ratio
+    ds = params.ds_samples_per_bit
+    T_m, B = xT.shape
+    rows = B // LANES
+    gpb = T_blk // ratio
+    n_t = pl.cdiv(n_groups, gpb)
+
+    x3 = xT.reshape(T_m, rows, LANES)
+    st3 = packed_state.reshape(N_STATE, rows, LANES)
+    ring3 = ring0.reshape(ds, rows, LANES)
+
+    kernel = functools.partial(_kernel_r, params, n_groups, gpb)
+    out_stream = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
+        (n_t * gpb, rows, LANES), dt)
+    stream_spec = pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)
+    bits, amps, softs, rsum, st_out = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec((T_blk, rows, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_STATE, rows, LANES), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ds, rows, LANES), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(stream_spec, stream_spec, stream_spec, stream_spec,
+                   pl.BlockSpec((N_STATE, rows, LANES),
+                                lambda t: (0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            out_stream(jnp.bfloat16), out_stream(jnp.float32),
+            out_stream(jnp.float32), out_stream(jnp.bfloat16),
+            jax.ShapeDtypeStruct((N_STATE, rows, LANES), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_STATE, rows, LANES), jnp.float32),
+            pltpu.VMEM((ds, rows, LANES), jnp.bfloat16),
+            pltpu.VMEM((1, rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x3, st3, ring3)
+
+    bits = bits.reshape(n_t * gpb, B)[:n_groups]
+    amps = amps.reshape(n_t * gpb, B)[:n_groups]
+    softs = softs.reshape(n_t * gpb, B)[:n_groups]
+    rsum = rsum.reshape(n_t * gpb, B)[:n_groups]
+    return st_out.reshape(N_STATE, B), bits, amps, softs, rsum
+
+
 def seq_main(params: FSKParams, fr, dsc, xT_main,
-             T_blk: int = 0, interpret: bool = False):
+             T_blk: int = 0, interpret: bool = False,
+             ring0=None, run0=None):
     """Pallas path for the aligned main body of the sequential stage.
 
     xT_main: time-major [n_groups*ratio, B]; B must be a multiple of
     128 lanes.  Returns (fr', dsc', bits [n_groups, B],
-    amps [n_groups, B], softs [n_groups, B]).
+    amps [n_groups, B], softs [n_groups, B]) — plus
+    ``rsum [n_groups, B]`` (sliding ds-wide bit sums, bf16) when
+    ``ring0`` (the ds-deep bit history, bf16 [ds, B]) is given.
+    ``run0`` is accepted for interface symmetry but recomputed
+    in-kernel from the ring (exact integer sum).
     """
     T_m, B = xT_main.shape
     ratio = params.downsample_ratio
@@ -213,6 +372,11 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     # whole number of downsample groups.
     T_blk = max(T_blk - (T_blk % ratio), ratio)
     packed = _pack_state(fr, dsc)
+    if ring0 is not None:
+        packed, bits, amps, softs, rsum = _seq_main_call_r(
+            params, n_groups, T_blk, interpret, packed, xT_main, ring0)
+        fr2, dsc2 = _unpack_state(packed)
+        return fr2, dsc2, bits, amps, softs, rsum
     packed, bits, amps, softs = _seq_main_call(
         params, n_groups, T_blk, interpret, packed, xT_main)
     fr2, dsc2 = _unpack_state(packed)
