@@ -313,5 +313,7 @@ class TestSyncRatioEquivalence:
             ref = np.asarray(_sync_ratios_cumsum(params,
                                                  jnp.asarray(ext)))
             got = np.asarray(_sync_ratios_from_r(
-                params, jnp.asarray(r_ext, jnp.bfloat16)))
+                params,
+                jnp.asarray(r_ext[:W - ds], jnp.bfloat16),
+                jnp.asarray(r_ext[W - ds:], jnp.bfloat16)))
             assert np.array_equal(got, ref), (baud, n_ds)

@@ -655,40 +655,48 @@ def _sync_sign_const(params: FSKParams, n_tau: int) -> Tuple[np.ndarray,
     return sign2, n_zero
 
 
-def _sync_ratios_from_r(params: FSKParams, r_ext):
+def _sync_ratios_from_r(params: FSKParams, r_tail, rsum):
     """Sync correlation from carried sliding block sums — stage C with
     its sliding-sum half already fused into the sequential kernel.
 
-    r_ext: time-major [W - ds + n_ds, B], r_ext[k] = R(ext index
-    ds + k) where R(i) is the ds-wide bit sum ending at i (inclusive)
-    — ``state.r_tail`` ++ the seq kernel's rsum output.  Returns ratio
-    [n_ds, B], bit-identical to _sync_ratios on the matching ext_bits:
-    R <= ds <= 256 is exact in bf16 and the ±1 sign matmul accumulates
-    exact integer f32 (|matched| <= W < 2^24).
+    r_tail: time-major [W - ds, B] carried state plane, rsum:
+    [n_ds, B] fresh kernel output; together they form the conceptual
+    r_ext[k] = R(ext index ds + k) where R(i) is the ds-wide bit sum
+    ending at i (inclusive).  Returns ratio [n_ds, B], bit-identical
+    to _sync_ratios on the matching ext_bits: R <= ds <= 256 is exact
+    in bf16 and the ±1 sign matmul accumulates exact integer f32
+    (|matched| <= W < 2^24).
 
-    The contraction runs over m — the MAJOR axis of a pure reshape of
-    r_ext — so the whole stage is ONE well-shaped MXU matmul
-    [n_tau, M] @ [M, ds·B] with no transposes and ~0.3 GMAC, replacing
-    the two batched block-sum einsums of _sync_ratios_mxu (~24× its
-    arithmetic) whose [Nb, ds, B] intermediates each round-tripped HBM.
+    The contraction runs over m — the MAJOR axis of pure reshapes —
+    as TWO well-shaped MXU matmuls, one per operand (sync_window is
+    always n_pat·ds so the tail splits into whole ds-blocks), summing
+    to the single [n_tau, M] @ [M, ds·B] band contraction with no
+    transposes and ~0.3 GMAC.  Splitting avoids materializing the
+    [W-ds+n_ds, B] concat (~40 µs of HBM round trip at the bench
+    shape); it replaces the two batched block-sum einsums of
+    _sync_ratios_mxu (~24× its arithmetic) whose [Nb, ds, B]
+    intermediates each round-tripped HBM.
     """
     ds = params.ds_samples_per_bit
     n_pat = len(params.pattern_bits)
     W = params.sync_window
-    n_ds = r_ext.shape[0] - (W - ds)
-    B = r_ext.shape[1]
+    n_ds = rsum.shape[0]
+    B = rsum.shape[1]
 
     n_tau = -(-n_ds // ds)
     sign2_np, n_zero = _sync_sign_const(params, n_tau)
-    M = n_tau + n_pat - 2
-    need = M * ds
-    if r_ext.shape[0] < need:      # pad rows only discarded t consume
-        r_ext = jnp.concatenate(
-            [r_ext, jnp.zeros((need - r_ext.shape[0], B),
-                              r_ext.dtype)], 0)
-    r3v = r_ext[:need].reshape(M, ds, B).astype(jnp.bfloat16)
-    m3 = jnp.einsum("tm,mpb->tpb", jnp.asarray(sign2_np, jnp.bfloat16),
-                    r3v, preferred_element_type=jnp.float32)
+    sign2 = jnp.asarray(sign2_np, jnp.bfloat16)
+    Mt = n_pat - 1                 # whole-ds blocks in the tail
+    Mf = n_tau - 1                 # fresh blocks consumed (the newest
+    #                                up-to-ds rows never match: the
+    #                                reference's j == 0 OOB quirk)
+    t3 = r_tail.reshape(Mt, ds, B).astype(jnp.bfloat16)
+    m3 = jnp.einsum("tm,mpb->tpb", sign2[:, :Mt], t3,
+                    preferred_element_type=jnp.float32)
+    if Mf:
+        f3 = rsum[:Mf * ds].reshape(Mf, ds, B).astype(jnp.bfloat16)
+        m3 = m3 + jnp.einsum("tm,mpb->tpb", sign2[:, Mt:], f3,
+                             preferred_element_type=jnp.float32)
     matched = m3.reshape(n_tau * ds, B)[:n_ds] + jnp.float32(
         n_zero * ds)
     return matched / W
@@ -1024,12 +1032,13 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: DemodState,
     ds = params.ds_samples_per_bit
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
     if use_r:
-        # stage C from the carried/fused sliding block sums; the bit
-        # tail stays carried (soft paths, checkpoints) but its concat
-        # is skipped when the chunk alone covers the window
-        r_ext = jnp.concatenate([state.r_tail, rsum], 0)
-        ratios = _sync_ratios_from_r(params, r_ext)
-        r_tail_new = r_ext[-(W - ds):]
+        # stage C from the carried/fused sliding block sums; tail
+        # concats (bit and R alike) are skipped entirely when the
+        # chunk alone covers the window — the common streaming case
+        ratios = _sync_ratios_from_r(params, state.r_tail, rsum)
+        r_tail_new = (rsum[-(W - ds):] if n_ds >= W - ds else
+                      jnp.concatenate([state.r_tail, rsum],
+                                      0)[-(W - ds):])
         bit_tail_new = (bits[-W:] if n_ds >= W else
                         jnp.concatenate([state.bit_tail, bits],
                                         0)[-W:])
