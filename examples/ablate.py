@@ -9,8 +9,11 @@ which cancels the per-dispatch tunnel RTT exactly.
 Stages:
   full     demod_chunk (the bench step)
   seq      _sequential_stage (stage A+B Pallas kernel)
-  sync     _sync_ratios (stage C band matmul; --sync-impl picks the
+  seq_r    same with the fused R emission (what the pipeline runs)
+  sync     _sync_ratios over ext_bits (--sync-impl picks the
            band/mxu/cumsum/conv variant)
+  fromr    _sync_ratios_from_r over carried block sums (the fused
+           pipeline's stage C)
   framing  stage_d_compact (stage D Pallas kernel incl. compaction)
 
 Each standalone stage consumes its outputs through the scan carry (or
@@ -182,7 +185,52 @@ def main() -> int:
         return (lambda c, n: body(c, bits_s, amps_s, ratios_s, n)), \
             lambda: fresh(st)
 
-    builders = {"full": run_full, "seq": run_seq, "sync": run_sync,
+    def run_seq_r():
+        # the R-emitting kernel variant the fused pipeline actually runs
+        @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+        def body(carry, stk, n):
+            def f(c, i):
+                (fr, dsc, ia, qa, bits, amps, softs,
+                 rsum) = fsk_demod._sequential_stage(
+                    params, 0, c, stk[i % K], with_rsum=True)
+                agc, pre, phi, iq_i, iq_q = fr
+                lp, post = dsc
+                c2 = c._replace(
+                    agc_gain=agc, pre=pre, phi=phi, iq_i=iq_i,
+                    iq_q=iq_q, ds_iacc=ia, ds_qacc=qa, last_phase=lp,
+                    post=post, bit_tail=bits[-W:],
+                    r_tail=rsum[-(W - params.ds_samples_per_bit):],
+                    amp_tail=jnp.concatenate(
+                        [c.amp_tail, amps], 0)[-params.amp_window:])
+                return c2, softs[0, 0]
+            return jax.lax.scan(f, carry, jnp.arange(n))
+        return (lambda c, n: body(c, xs, n)), lambda: fresh(st)
+
+    def run_fromr():
+        # stage C over carried block sums (the fused pipeline's form)
+        ds = params.ds_samples_per_bit
+        rsum_k = []
+        for i in range(K):
+            ext = jnp.concatenate([st.bit_tail[-ds:], bits_k[i]],
+                                  0).astype(jnp.float32)
+            cs = jnp.cumsum(ext, 0)
+            rsum_k.append((cs[ds:] - cs[:-ds]).astype(jnp.bfloat16))
+        rsum_s = jax.block_until_ready(jnp.stack(rsum_k))
+
+        @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+        def body(carry, rstk, n):
+            def f(c, i):
+                tail, acc = c
+                ratios = fsk_demod._sync_ratios_from_r(
+                    params, tail, rstk[i % K])
+                return ((rstk[i % K][-(W - ds):], acc + ratios.sum()),
+                        ratios[0, 0])
+            return jax.lax.scan(f, carry, jnp.arange(n))
+        return (lambda c, n: body(c, rsum_s, n)), \
+            lambda: (fresh(st.r_tail), jnp.float32(0))
+
+    builders = {"full": run_full, "seq": run_seq, "seq_r": run_seq_r,
+                "sync": run_sync, "fromr": run_fromr,
                 "framing": run_framing}
     stages = args.stages or list(builders)
     if not fsk_framing.compact_available(B, maxb) and "framing" in stages:

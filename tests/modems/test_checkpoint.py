@@ -259,3 +259,58 @@ def test_pre_r_tail_checkpoint_migrates(tmp_path):
     resumed = drain(restored, mid)
     assert resumed == drain(state, mid)
     assert b"migrate me" in bytes(pre) + resumed
+
+
+def test_pre_r_tail_checkpoint_migrates_psk():
+    # the r_tail migration is family-generic: PSK snapshots predating
+    # the plane load with r_tail derived from the saved bit_tail
+    import io
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.psk import PSKConfig
+    from webaudio_modem_tpu.models import checkpoint as cp
+    from webaudio_modem_tpu.ops import psk as psk_ops
+
+    cfg = PSKConfig()
+    params = psk_ops.psk_params(carrier_frequency=cfg.carrier_frequency,
+                                baud_rate=cfg.baud_rate,
+                                sample_rate=cfg.sample_rate)
+    rng = np.random.RandomState(5)
+    state = psk_ops.init_state(params, 3)._replace(
+        bit_tail=jnp.asarray(
+            rng.randint(0, 2, (params.sync_window, 3)), jnp.bfloat16))
+    blob = cp.dumps_state(state, cfg, ds_phase=0)
+
+    # rewrite the npz WITHOUT the r_tail leaf (pre-migration layout)
+    paths = jax.tree_util.tree_flatten_with_path(state)[0]
+    names = ["/".join(str(getattr(k, "name", k)) for k in p)
+             for p, _ in paths]
+    r_idx = names.index("r_tail")
+    with np.load(io.BytesIO(blob)) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+    old_bf16 = set(meta["bf16_leaves"])
+    del leaves[r_idx]
+    arrays, new_bf16 = {}, []
+    for i, a in enumerate(leaves):
+        src = i if i < r_idx else i + 1
+        if f"leaf_{src}" in old_bf16:
+            new_bf16.append(f"leaf_{i}")
+        arrays[f"leaf_{i}"] = a
+    meta["n_leaves"] = len(leaves)
+    meta["bf16_leaves"] = new_bf16
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+    restored, cfg2, _ = cp.loads_state(buf.getvalue())
+    assert type(restored).__name__ == "PSKDemodState"
+    ds = params.ds_samples_per_bit
+    bt = np.asarray(state.bit_tail, np.float32)
+    cs = np.cumsum(bt, axis=0)
+    expect = (cs[ds:] - cs[:-ds]).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(restored.r_tail, np.float32), expect)

@@ -99,3 +99,44 @@ def test_psk_available_gates():
     assert not psk_seq.available(PARAMS, 512)       # below MIN_B
     slow = psk_ops.psk_params(baud_rate=75)         # D=320: ring too big
     assert not psk_seq.available(slow, 65536)
+
+
+def test_psk_pallas_rsum_matches_lax():
+    # the R-emitting variant (sliding ds-wide bit sums fused into the
+    # kernel via a bit ring in the packed state plane) must match the
+    # lax with_rsum path bit-for-bit in bits AND rsum, across a ring
+    # seeded from a non-trivial bit_tail
+    rng = np.random.RandomState(3)
+    T = 1200
+    x = rng.uniform(-1, 1, (B, T)).astype(np.float32)
+    ds = PARAMS.ds_samples_per_bit
+    state = psk_ops.init_state(PARAMS, B)._replace(
+        bit_tail=jnp.asarray(
+            rng.randint(0, 2, (PARAMS.sync_window, B)), jnp.bfloat16))
+    fr, dsc = _split_state(state)
+
+    n_groups = T // PARAMS.downsample_ratio
+    Tm = n_groups * PARAMS.downsample_ratio
+    from webaudio_modem_tpu.ops import fsk_demod as _fd
+    prev = _fd.FORCE_LAX_SEQ
+    _fd.FORCE_LAX_SEQ = True
+    try:
+        out_l = psk_ops._sequential_stage(
+            PARAMS, 0, state, jnp.asarray(x[:, :Tm]), unroll=2,
+            with_rsum=True)
+    finally:
+        _fd.FORCE_LAX_SEQ = prev
+    bits_l, rsum_l = np.asarray(out_l[4]), np.asarray(out_l[7])
+
+    xT = jnp.asarray(x[:, :Tm]).T
+    _, _, bits_p, _, _, rsum_p = psk_seq.seq_main(
+        PARAMS, fr, dsc, xT, T_blk=240, interpret=True,
+        ring0=state.bit_tail[-ds:])
+    np.testing.assert_array_equal(bits_l, np.asarray(bits_p))
+    np.testing.assert_array_equal(rsum_l, np.asarray(rsum_p))
+    # rsum really is the sliding ds-wide sum over (ring ++ bits)
+    ext = np.concatenate(
+        [np.asarray(state.bit_tail[-ds:], np.float32), bits_l], 0)
+    cs = np.cumsum(ext, 0)
+    np.testing.assert_array_equal(
+        rsum_l, (cs[ds:] - cs[:-ds]).astype(rsum_l.dtype))

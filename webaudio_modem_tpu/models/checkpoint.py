@@ -100,12 +100,12 @@ def load_state(path_or_file, mesh=None) -> Tuple[object, object, int]:
             data[f"leaf_{i}"].view(np.dtype(jax.numpy.bfloat16))
             if f"leaf_{i}" in bf16 else data[f"leaf_{i}"]
             for i in range(meta["n_leaves"])]
-        if (meta["n_leaves"] == len(leaves) - 1
-                and meta.get("family", "fsk") == "fsk"):
-            # migration: snapshots predating the carried sliding
-            # block-sum plane (r_tail) — DERIVE it from the saved
-            # bit_tail: r_tail[k] = R(ds + k) = Σ bit_tail[k+1 .. k+ds]
-            # (exact integer counts), restoring bit-identical streams.
+        if meta["n_leaves"] == len(leaves) - 1:
+            # migration (both families): snapshots predating the carried
+            # sliding block-sum plane (r_tail) — DERIVE it from the
+            # saved bit_tail: r_tail[k] = R(ds + k) = Σ bit_tail[k+1 ..
+            # k+ds] (exact integer counts), restoring bit-identical
+            # streams.
             flat_paths = jax.tree_util.tree_flatten_with_path(
                 template)[0]
             names = ["/".join(str(getattr(k, "name", k))

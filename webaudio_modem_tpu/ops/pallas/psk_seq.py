@@ -52,11 +52,26 @@ def _unpack_fr(packed):
 
 
 def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
-            x_ref, state_in_ref, bits_ref, amps_ref, softs_ref,
-            state_out_ref, scratch):
+            with_r: bool, *refs):
+    """Shared kernel body; ``with_r`` (static) appends a 4th output
+    stream rbits_ref — the sliding D-wide bit sums R, maintained as a
+    rolling carry over a D-deep bit ring packed into the state plane
+    (rows [N_STATE+2D, N_STATE+3D); running sum in row N_STATE+3D).
+    The ring shares the delay rings' read index ((base+g) % D), so the
+    R update costs ~3 extra VPU ops per group — the same fusion as the
+    FSK kernel (fsk_seq._kernel_r), with the ring riding the existing
+    packed-state roll convention instead of a separate input."""
     from webaudio_modem_tpu.ops.fsk_demod import _full_rate_step
     from webaudio_modem_tpu.ops.pallas.tpu_math import atan2 as tpu_atan2
     from webaudio_modem_tpu.ops.psk import _psk_soft
+
+    if with_r:
+        (x_ref, state_in_ref, bits_ref, amps_ref, softs_ref, rbits_ref,
+         state_out_ref, scratch) = refs
+    else:
+        (x_ref, state_in_ref, bits_ref, amps_ref, softs_ref,
+         state_out_ref, scratch) = refs
+        rbits_ref = None
 
     t_idx = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -69,6 +84,7 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
         scratch[...] = state_in_ref[...]
 
     fr0 = _unpack_fr(tuple(scratch[i] for i in range(N_STATE)))
+    run0 = scratch[N_STATE + 3 * D] if with_r else None
 
     base = t_idx * groups_per_block
     count = jnp.minimum(groups_per_block, n_groups - base)
@@ -76,7 +92,7 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
     UNROLL = 4
     n_main_iters = count // UNROLL
 
-    def group(fr, g_idx, samples):
+    def group(fr, run, g_idx, samples):
         acc_i = acc_q = None
         for x_t in samples:
             fr, fi, fq = _full_rate_step(params, fr, x_t)
@@ -91,51 +107,71 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
                                    atan2=tpu_atan2)
         scratch[N_STATE + idx] = avg_i
         scratch[N_STATE + D + idx] = avg_q
-        return fr, bit, amp, soft
+        if with_r:
+            old = scratch[N_STATE + 2 * D + idx]
+            run = run + bit - old
+            scratch[N_STATE + 2 * D + idx] = bit
+        return fr, run, bit, amp, soft
 
-    def body_u(j, fr):
+    carry0 = (fr0, run0) if with_r else (fr0,)
+
+    def body_u(j, state):
+        fr, run = state if with_r else (state[0], None)
         slab = x_ref[pl.ds(j * (UNROLL * ratio), UNROLL * ratio)]
-        bits_u, amps_u, softs_u = [], [], []
+        bits_u, amps_u, softs_u, r_u = [], [], [], []
         for u in range(UNROLL):
             samples = tuple(slab[u * ratio + r] for r in range(ratio))
-            fr, bit, amp, soft = group(fr, j * UNROLL + u, samples)
+            fr, run, bit, amp, soft = group(fr, run, j * UNROLL + u,
+                                            samples)
             bits_u.append(bit)
             amps_u.append(amp)
             softs_u.append(soft)
+            r_u.append(run)
         bits_ref[pl.ds(j * UNROLL, UNROLL)] = \
             jnp.stack(bits_u).astype(jnp.bfloat16)
         amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
         softs_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(softs_u)
-        return fr
+        if with_r:
+            rbits_ref[pl.ds(j * UNROLL, UNROLL)] = \
+                jnp.stack(r_u).astype(jnp.bfloat16)
+        return (fr, run) if with_r else (fr,)
 
-    fr = jax.lax.fori_loop(0, n_main_iters, body_u, fr0)
+    carry = jax.lax.fori_loop(0, n_main_iters, body_u, carry0)
 
-    def body_tail(i, fr):
+    def body_tail(i, state):
+        fr, run = state if with_r else (state[0], None)
         samples = tuple(x_ref[i * ratio + r] for r in range(ratio))
-        fr, bit, amp, soft = group(fr, i, samples)
+        fr, run, bit, amp, soft = group(fr, run, i, samples)
         bits_ref[i] = bit.astype(jnp.bfloat16)
         amps_ref[i] = amp
         softs_ref[i] = soft
-        return fr
+        if with_r:
+            rbits_ref[i] = run.astype(jnp.bfloat16)
+        return (fr, run) if with_r else (fr,)
 
-    fr = jax.lax.fori_loop(n_main_iters * UNROLL, count, body_tail, fr)
+    carry = jax.lax.fori_loop(n_main_iters * UNROLL, count, body_tail,
+                              carry)
+    fr, run = carry if with_r else (carry[0], None)
 
     packed = _pack_fr(fr)
     for i in range(N_STATE):
         scratch[i] = packed[i]
+    if with_r:
+        scratch[N_STATE + 3 * D] = run
 
     @pl.when(t_idx == n_t - 1)
     def _():
         state_out_ref[...] = scratch[...]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _psk_main_call(params: FSKParams, n_groups: int, T_blk: int,
-                   interpret: bool, packed_state, xT):
-    """packed_state [N_STATE + 2D, B]; xT time-major [T_m, B]."""
+                   interpret: bool, with_r: bool, packed_state, xT):
+    """packed_state [N_STATE + 2D, B] (+ D bit-ring rows + 1 run row
+    when ``with_r``); xT time-major [T_m, B]."""
     ratio = params.downsample_ratio
     D = params.ds_samples_per_bit
-    n_packed = N_STATE + 2 * D
+    n_packed = N_STATE + (3 * D + 1 if with_r else 2 * D)
     T_m, B = xT.shape
     rows = B // LANES
     gpb = T_blk // ratio
@@ -144,7 +180,7 @@ def _psk_main_call(params: FSKParams, n_groups: int, T_blk: int,
     x3 = xT.reshape(T_m, rows, LANES)
     st3 = packed_state.reshape(n_packed, rows, LANES)
 
-    kernel = functools.partial(_kernel, params, n_groups, gpb)
+    kernel = functools.partial(_kernel, params, n_groups, gpb, with_r)
     plane = lambda n: jax.ShapeDtypeStruct(  # noqa: E731
         (n, rows, LANES), jnp.float32)
     whole = lambda n: pl.BlockSpec(  # noqa: E731
@@ -152,33 +188,44 @@ def _psk_main_call(params: FSKParams, n_groups: int, T_blk: int,
     stream = lambda n: pl.BlockSpec(  # noqa: E731
         (n, rows, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
 
-    bits, amps, softs, st_out = pl.pallas_call(
+    bf16_stream = jax.ShapeDtypeStruct((n_t * gpb, rows, LANES),
+                                       jnp.bfloat16)
+    out_specs = [stream(gpb), stream(gpb), stream(gpb)]
+    out_shape = [bf16_stream, plane(n_t * gpb), plane(n_t * gpb)]
+    if with_r:
+        out_specs.append(stream(gpb))
+        out_shape.append(bf16_stream)
+    out_specs.append(whole(n_packed))
+    out_shape.append(plane(n_packed))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(n_t,),
         in_specs=[stream(T_blk), whole(n_packed)],
-        out_specs=(stream(gpb), stream(gpb), stream(gpb),
-                   whole(n_packed)),
-        out_shape=(jax.ShapeDtypeStruct((n_t * gpb, rows, LANES),
-                                        jnp.bfloat16),
-                   plane(n_t * gpb), plane(n_t * gpb),
-                   plane(n_packed)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((n_packed, rows, LANES), jnp.float32)],
         interpret=interpret,
     )(x3, st3)
 
-    bits = bits.reshape(n_t * gpb, B)[:n_groups]
-    amps = amps.reshape(n_t * gpb, B)[:n_groups]
-    softs = softs.reshape(n_t * gpb, B)[:n_groups]
-    return st_out.reshape(n_packed, B), bits, amps, softs
+    st_out = outs[-1].reshape(n_packed, B)
+    streams = [o.reshape(n_t * gpb, B)[:n_groups] for o in outs[:-1]]
+    return (st_out, *streams)
 
 
 def seq_main(params: FSKParams, fr, dsc, xT_main,
-             T_blk: int = 0, interpret: bool = False):
+             T_blk: int = 0, interpret: bool = False, ring0=None):
     """Pallas path for the aligned main body of the DBPSK sequential
     stage.  ``dsc`` = (zbuf_i [D, B], zbuf_q [D, B], zidx scalar) in
     the lax path's representation; returned in the same representation
-    (canonicalized to zidx == 0)."""
+    (canonicalized to zidx == 0).
+
+    With ``ring0`` (the D-deep bit history, oldest first — e.g.
+    ``bit_tail[-D:]``) a 6th output is appended: ``rsum [n_groups, B]``
+    bf16, the sliding D-wide bit sums (the sync correlation's block-sum
+    stage, fused — see fsk_seq).  The bit ring and running sum ride the
+    packed state plane alongside the I/Q delay rings."""
     T_m, B = xT_main.shape
     ratio = params.downsample_ratio
     D = params.ds_samples_per_bit
@@ -200,29 +247,43 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     zbi, zbq, zidx = dsc
     # roll the rings so the kernel's read position is 0 (zidx points at
     # the oldest entry, which is read and then overwritten)
-    packed = jnp.concatenate([
+    with_r = ring0 is not None
+    parts = [
         _pack_fr(fr),
         jnp.roll(zbi, -zidx, axis=0),
-        jnp.roll(zbq, -zidx, axis=0)], axis=0)
+        jnp.roll(zbq, -zidx, axis=0)]
+    if with_r:
+        ring_f32 = ring0.astype(jnp.float32)
+        parts.append(ring_f32)                      # oldest first: the
+        parts.append(jnp.sum(ring_f32, axis=0,      # shared idx reads
+                             keepdims=True))        # the leaving bit
+    packed = jnp.concatenate(parts, axis=0)
 
-    packed, bits, amps, softs = _psk_main_call(
-        params, n_groups, T_blk, interpret, packed, xT_main)
+    out = _psk_main_call(
+        params, n_groups, T_blk, interpret, with_r, packed, xT_main)
+    packed = out[0]
+    bits, amps, softs = out[1], out[2], out[3]
     fr2 = _unpack_fr(packed[:N_STATE])
     ri = packed[N_STATE:N_STATE + D]
-    rq = packed[N_STATE + D:]
+    rq = packed[N_STATE + D:N_STATE + 2 * D]
     # canonicalize: after n_groups writes the read position is
     # n_groups % D; roll back so position 0 is again the oldest
     shift = n_groups % D
     if shift:
         ri = jnp.roll(ri, -shift, axis=0)
         rq = jnp.roll(rq, -shift, axis=0)
-    return fr2, (ri, rq, jnp.zeros((), jnp.int32)), bits, amps, softs
+    dsc2 = (ri, rq, jnp.zeros((), jnp.int32))
+    if with_r:
+        return fr2, dsc2, bits, amps, softs, out[4]
+    return fr2, dsc2, bits, amps, softs
 
 
 def available(params: FSKParams, B: int) -> bool:
     if B % LANES != 0 or B < MIN_B:
         return False
-    n_packed = N_STATE + 2 * params.ds_samples_per_bit
+    # sized for the R-fused plane (bit ring + run row) — the larger of
+    # the two layouts, so availability cannot flip with the rsum flag
+    n_packed = N_STATE + 3 * params.ds_samples_per_bit + 1
     if 3 * n_packed * (B // LANES) * LANES * 4 > _STATE_VMEM_LIMIT:
         return False
     try:

@@ -108,6 +108,10 @@ class PSKDemodState(NamedTuple):
     zbuf_q: jax.Array               # f32 [D, B] delayed Q
     zidx: jax.Array                 # i32 [] circular index
     bit_tail: jax.Array
+    # carried sliding ds-wide bit sums for the W-ds ext positions
+    # preceding the next chunk (same fused-sync plane as
+    # fsk_demod.DemodState.r_tail; derivable from bit_tail)
+    r_tail: jax.Array               # bf16 [W - ds, B]
     amp_tail: jax.Array
     bit_fill: jax.Array
     amp_fill: jax.Array
@@ -144,6 +148,9 @@ def init_state(params: FSKParams, batch: int = 1) -> PSKDemodState:
         zbuf_q=jnp.zeros((D, batch), jnp.float32),
         zidx=jnp.zeros((), jnp.int32),
         bit_tail=jnp.zeros((params.sync_window, batch), jnp.bfloat16),
+        r_tail=jnp.zeros(
+            (params.sync_window - params.ds_samples_per_bit, batch),
+            jnp.bfloat16),
         amp_tail=jnp.zeros((params.amp_window, batch), jnp.float32),
         bit_fill=zi(), amp_fill=zi(),
         started=jnp.zeros((batch,), bool), counter=zi(), sil=zi(),
@@ -203,16 +210,22 @@ def _psk_group_step(params: FSKParams, carry, x_group):
 
 
 def _sequential_stage(params: FSKParams, ds_phase: int,
-                      state: PSKDemodState, x, unroll: int = 0):
+                      state: PSKDemodState, x, unroll: int = 0,
+                      with_rsum: bool = False):
     """Same scan structure as the FSK sequential stage, with the DBPSK
-    decision; outputs time-major bits/amps [n_ds, B]."""
+    decision; outputs time-major bits/amps [n_ds, B].  ``with_rsum``
+    appends the sliding ds-wide bit sums (see fsk_demod) as an 8th
+    output."""
     unroll = unroll or _fd._default_unroll()
     B, T = x.shape
     ratio = params.downsample_ratio
+    ds = params.ds_samples_per_bit
     xT = x.T
     fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
     dsc = (state.zbuf_i, state.zbuf_q, state.zidx)
     bits_parts, amps_parts, soft_parts = [], [], []
+    ring = state.bit_tail[-ds:] if with_rsum else None
+    r_parts = []
     pos = 0
 
     if ds_phase > 0:
@@ -224,17 +237,26 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
                 acc_i = acc_i + fi
                 acc_q = acc_q + fq
             empty = jnp.zeros((0, B), x.dtype)
-            return (fr, dsc, acc_i, acc_q,
-                    jnp.zeros((0, B), jnp.bfloat16), empty, empty)
+            out = (fr, dsc, acc_i, acc_q,
+                   jnp.zeros((0, B), jnp.bfloat16), empty, empty)
+            if with_rsum:
+                out = out + (jnp.zeros((0, B), jnp.bfloat16),)
+            return out
         for t in range(need):
             fr, fi, fq = _fd._full_rate_step(params, fr, xT[t])
             acc_i = acc_i + fi
             acc_q = acc_q + fq
         dsc, bit, amp, soft = _psk_decision(params, dsc, acc_i / ratio,
                                             acc_q / ratio)
-        bits_parts.append(bit.astype(jnp.bfloat16)[None, :])
+        bit16 = bit.astype(jnp.bfloat16)
+        bits_parts.append(bit16[None, :])
         amps_parts.append(amp[None, :])
         soft_parts.append(soft[None, :])
+        if with_rsum:
+            r_new = (jnp.sum(ring.astype(jnp.float32), 0) + bit
+                     - ring[0].astype(jnp.float32))
+            r_parts.append(r_new.astype(jnp.bfloat16)[None, :])
+            ring = jnp.concatenate([ring[1:], bit16[None, :]], 0)
         pos = need
 
     n_groups = (T - pos) // ratio
@@ -245,7 +267,13 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
 
         if psk_seq.available(params, B):
             xm = xT[pos:pos + n_groups * ratio]
-            fr, dsc, bm, am, sm = psk_seq.seq_main(params, fr, dsc, xm)
+            if with_rsum:
+                fr, dsc, bm, am, sm, rm = psk_seq.seq_main(
+                    params, fr, dsc, xm, ring0=ring)
+                r_parts.append(rm)
+            else:
+                fr, dsc, bm, am, sm = psk_seq.seq_main(params, fr, dsc,
+                                                       xm)
             bits_parts.append(bm)
             amps_parts.append(am)
             soft_parts.append(sm)
@@ -298,7 +326,19 @@ def _sequential_stage(params: FSKParams, ds_phase: int,
     else:
         bits = jnp.zeros((0, B), jnp.bfloat16)
         amps = softs = jnp.zeros((0, B), x.dtype)
-    return fr, dsc, acc_i, acc_q, bits, amps, softs
+    if not with_rsum:
+        return fr, dsc, acc_i, acc_q, bits, amps, softs
+    # rsum for rows the kernel/prefix didn't cover (lax main +
+    # remainder): exact cumsum over ring ++ bits (integer counts)
+    covered = sum(int(p.shape[0]) for p in r_parts)
+    if bits.shape[0] > covered:
+        rest = bits[covered:].astype(jnp.float32)
+        ext = jnp.concatenate([ring.astype(jnp.float32), rest], 0)
+        cs = jnp.cumsum(ext, 0)
+        r_parts.append((cs[ds:] - cs[:-ds]).astype(jnp.bfloat16))
+    rsum = (jnp.concatenate(r_parts, 0) if r_parts
+            else jnp.zeros((0, B), jnp.bfloat16))
+    return fr, dsc, acc_i, acc_q, bits, amps, softs, rsum
 
 
 def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
@@ -306,8 +346,14 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
     """One [B, T] frame through the DBPSK pipeline; stages C/D are the
     shared FSK implementations."""
     B, T = samples.shape
-    fr, dsc, ds_iacc, ds_qacc, bits, amps, softs = _sequential_stage(
-        params, ds_phase, state, samples)
+    # R-fused sync path needs R exact in bf16 (R <= ds <= 256)
+    use_r = params.ds_samples_per_bit <= 256
+    seq = _sequential_stage(params, ds_phase, state, samples,
+                            with_rsum=use_r)
+    if use_r:
+        fr, dsc, ds_iacc, ds_qacc, bits, amps, softs, rsum = seq
+    else:
+        fr, dsc, ds_iacc, ds_qacc, bits, amps, softs = seq
     agc_gain, pre, phi, iq_i, iq_q = fr
     zbi, zbq, zidx = dsc
     n_ds = bits.shape[0]
@@ -323,9 +369,24 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
             byte_count=zi, sync_fired=zi, eod_fired=zi,
             mean_amplitude=jnp.zeros((B,), jnp.float32))
 
-    ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
+    W = params.sync_window
+    ds = params.ds_samples_per_bit
     ext_amps = jnp.concatenate([state.amp_tail, amps], 0)
-    ratios = _fd._sync_ratios(params, ext_bits)
+    if use_r:
+        # stage C from the carried/fused sliding block sums (see
+        # fsk_demod.demod_chunk — shared _sync_ratios_from_r)
+        ratios = _fd._sync_ratios_from_r(params, state.r_tail, rsum)
+        r_tail_new = (rsum[-(W - ds):] if n_ds >= W - ds else
+                      jnp.concatenate([state.r_tail, rsum],
+                                      0)[-(W - ds):])
+        bit_tail_new = (bits[-W:] if n_ds >= W else
+                        jnp.concatenate([state.bit_tail, bits],
+                                        0)[-W:])
+    else:
+        ext_bits = jnp.concatenate([state.bit_tail, bits], 0)
+        ratios = _fd._sync_ratios(params, ext_bits)
+        r_tail_new = state.r_tail
+        bit_tail_new = ext_bits[-W:]
 
     # Stage D + byte compaction: same dispatch as the FSK family —
     # compact Pallas kernel in VMEM on TPU (emits [maxb+4, B]
@@ -370,7 +431,7 @@ def demod_chunk(params: FSKParams, ds_phase: int, state: PSKDemodState,
         agc_gain=agc_gain, pre=pre, phi=phi, iq_i=iq_i, iq_q=iq_q,
         ds_iacc=ds_iacc, ds_qacc=ds_qacc,
         zbuf_i=zbi, zbuf_q=zbq, zidx=zidx,
-        bit_tail=ext_bits[-params.sync_window:],
+        bit_tail=bit_tail_new, r_tail=r_tail_new,
         amp_tail=ext_amps[-params.amp_window:],
         bit_fill=jnp.minimum(state.bit_fill + n_ds, jnp.int32(2 ** 30)),
         amp_fill=jnp.minimum(state.amp_fill + n_ds, jnp.int32(2 ** 30)),
