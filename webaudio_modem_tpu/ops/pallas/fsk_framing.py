@@ -128,11 +128,16 @@ def _stage_d_call(params: FSKParams, n_ds: int, gpb: int, interpret: bool,
 
 
 
+BLOCK_GROUPS_OVERRIDE = 0   # tuning hook (examples/tune_ladder.py)
+
+
 def _default_block_groups(B: int) -> int:
     """Slope-calibrated v5e block ladder shared by stage_d and
     stage_d_compact: bigger blocks amortize the pipeline at the B=2048
     sweet spot; 4096 stays at 64 (VMEM); above that the formula keeps
     the 6 double-buffered streams inside the scoped budget."""
+    if BLOCK_GROUPS_OVERRIDE:
+        return BLOCK_GROUPS_OVERRIDE
     if B <= 2048:
         return 256
     if B <= 4096:

@@ -33,6 +33,7 @@ from webaudio_modem_tpu.models.config import FSKParams
 
 LANES = 128
 MIN_B = 1024                     # below this the scan path wins anyway
+T_BLK_OVERRIDE = 0               # tuning hook (examples/tune_ladder.py)
 N_STATE = 20                     # carried state variables
 
 
@@ -352,6 +353,8 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     if B % LANES != 0:
         raise ValueError(f"Pallas seq kernel needs B % {LANES} == 0")
     n_groups = T_m // ratio
+    if T_blk == 0:
+        T_blk = T_BLK_OVERRIDE   # tuning hook (examples/tune_ladder.py)
     if T_blk == 0:
         # VMEM scales with rows = B/128: the input block + 3 output
         # blocks are double-buffered, so shrink the time-block as the
