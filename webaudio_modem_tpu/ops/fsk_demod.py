@@ -1220,8 +1220,24 @@ def warm_quality_calibration(params: FSKParams, family: str = "fsk",
     if background:
         import threading
 
-        threading.Thread(target=_quality_calibration,
-                         args=(params, family), daemon=True,
+        # Initialize the CPU backend on THIS thread first: under the
+        # axon plugin, first-ever backend discovery from a secondary
+        # thread races plugin registration and raises "Unknown backend
+        # cpu" (seen on-chip, round 3) — after a main-thread touch the
+        # registry is cached and thread-safe.
+        try:
+            jax.devices("cpu")
+        except Exception:
+            pass
+
+        def _build():
+            try:
+                _quality_calibration(params, family)
+            except Exception:
+                # leave the lazy path to retry on the caller's thread
+                _warm_started.discard(key)
+
+        threading.Thread(target=_build, daemon=True,
                          name="wam-quality-warm").start()
     else:
         _quality_calibration(params, family)
