@@ -13,6 +13,8 @@ checks that previously lived only in commit messages and doc prose:
   4. PSK farm decode      — 2048 DBPSK channels decode exactly
   5. mini ARQ endurance   — 64 concurrent XModem sessions over the
      device-resident hub, every payload exact
+  6. soft farm decode     — 1024 noisy FEC frames decoded exactly from
+     one device-resident [B, T] array (two batched Viterbi calls)
 
 Prints ONE JSON summary line (pass/fail per check + timings) and exits
 non-zero on any failure.  Bounded: sized to finish in a few minutes
@@ -164,12 +166,42 @@ def check_mini_arq(batch=64, payload=11):
                   f"({steps} quanta, {retx} retransmits)")
 
 
+def check_soft_farm(B=1024, payload=9, snr_db=6.0):
+    """Device-resident batched soft decode: B noisy FEC frames in one
+    [B, T] device array -> every payload exact via the two-Viterbi
+    batch path (ops/soft_fsk.decode_frames_batch)."""
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                  FSKParams)
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    payloads = [bytes((i * 7 + k) & 0xFF for k in range(payload))
+                for i in range(B)]
+    sigs = np.stack([np.asarray(soft_fsk.encode_frame_signal(params, p))
+                     for p in payloads])
+    rng = np.random.RandomState(3)
+    power = float(np.mean(sigs[0].astype(np.float64) ** 2))
+    amp = np.sqrt(power / (10 ** (snr_db / 10)))
+    noisy = (sigs + amp * rng.standard_normal(sigs.shape)
+             ).astype(np.float32)
+    out = soft_fsk.decode_frames_batch(params, jnp.asarray(noisy),
+                                       payload)
+    bad = sum(1 for o, p in zip(out, payloads) if o != p)
+    if bad:
+        return False, (f"{bad}/{B} soft channels failed at "
+                       f"{snr_db:g} dB")
+    return True, f"{B}/{B} FEC frames exact at {snr_db:g} dB (device)"
+
+
 CHECKS = [
     ("golden_differential", check_golden_differential),
     ("pallas_vs_lax", check_pallas_vs_lax),
     ("ber_parity", check_ber_parity),
     ("psk_farm", check_psk_farm),
     ("mini_arq", check_mini_arq),
+    ("soft_farm", check_soft_farm),
 ]
 
 

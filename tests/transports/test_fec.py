@@ -524,3 +524,25 @@ class TestStreamingSoftDecode:
         assert frames == [payload]
         # memory stays bounded by the trim window after consumption
         assert len(dec._bits) < 4 * params.sync_window + 10000
+
+
+def test_soft_batch_device_resident_input_matches_numpy():
+    # decode_frames_batch accepts a device-resident jax array in place
+    # (the DeviceFarmHub pattern) and returns identical payloads
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = 4
+    payloads = [bytes([0x41 + i] * 9) for i in range(B)]
+    sigs = np.stack([soft_fsk.encode_frame_signal(params, p)
+                     for p in payloads])
+    rng = np.random.RandomState(7)
+    noisy = (sigs + 0.05 * rng.standard_normal(sigs.shape)
+             ).astype(np.float32)
+    out_np = soft_fsk.decode_frames_batch(params, noisy, 9)
+    out_dev = soft_fsk.decode_frames_batch(params, jnp.asarray(noisy), 9)
+    assert out_np == out_dev
+    assert out_np == payloads

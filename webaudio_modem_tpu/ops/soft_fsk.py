@@ -30,6 +30,7 @@ tests/transports/test_fec.py::TestSoftPhysicalLayer).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -364,6 +365,76 @@ def decode_frame_chunks(params: FSKParams, chunks) -> list:
     return frames
 
 
+def _crc16_rows(data: np.ndarray) -> np.ndarray:
+    """Vectorized CRC-16-CCITT-FALSE over the last axis of a uint8
+    array — same table recurrence as utils.crc16.CRC16.calculate,
+    applied to every row at once (the per-candidate Python loop cost
+    O(B x n_off) interpreter iterations at farm batch)."""
+    from webaudio_modem_tpu.utils.crc16 import _TABLE
+
+    tab = np.asarray(_TABLE, np.uint32)
+    crc = np.full(data.shape[:-1], 0xFFFF, np.uint32)
+    for j in range(data.shape[-1]):
+        crc = ((crc << 8) & 0xFFFF) ^ tab[((crc >> 8)
+                                           ^ data[..., j]) & 0xFF]
+    return crc
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _batch_header_stage(params: FSKParams, bits, softs, offsets):
+    """Device half 1: sync peak + every (channel x offset) header
+    candidate decoded by ONE batched Viterbi.  Everything stays in HBM;
+    only the outputs (small int planes) cross to the host."""
+    n_ds, B = bits.shape
+    W = params.sync_window
+    ds = params.ds_samples_per_bit
+    h_bits = HEADER_CODED_BITS
+
+    ext = jnp.concatenate([jnp.zeros((W, B), bits.dtype), bits], 0)
+    ratios = fsk_demod._sync_ratios(params, ext)       # [n_ds, B]
+    t_peak = jnp.argmax(ratios, axis=0).astype(jnp.int32)
+    peak = jnp.take_along_axis(ratios, t_peak[None, :], axis=0)[0]
+    peak_ok = peak > jnp.float32(params.config.sync_threshold)
+
+    csum = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.float32),
+         jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
+
+    starts = t_peak[:, None] + 1 + offsets[None, :]    # [B, n_off]
+    starts_c = jnp.clip(starts, 0, max(n_ds - h_bits * ds, 0))
+    pos = (starts_c[:, :, None]
+           + (jnp.arange(h_bits) * ds)[None, None, :])  # [B, n_off, h]
+    ch = jnp.arange(B)[:, None, None]
+    h_llr = jnp.float32(params.polarity) * \
+        (csum[pos + ds, ch] - csum[pos, ch])
+    n_off = offsets.shape[0]
+    headers = fec._viterbi_core(
+        h_llr.reshape(B * n_off, h_bits // 2, 2),
+        8 * HEADER_PLAIN).reshape(B, n_off, 8 * HEADER_PLAIN)
+    return (t_peak, peak_ok, csum, starts,
+            headers.astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _batch_body_stage(params: FSKParams, csum, b_starts,
+                      payload_len: int):
+    """Device half 2: body LLR windows at each channel's chosen grid +
+    ONE batched Viterbi.  Invalid channels decode garbage at a clipped
+    start and are masked on the host."""
+    ds = params.ds_samples_per_bit
+    body_bits = _body_coded_bits(payload_len)
+    n_rows, B = csum.shape
+    pos = (b_starts[:, None]
+           + (jnp.arange(body_bits) * ds)[None, :])    # [B, body]
+    pos = jnp.clip(pos, 0, n_rows - 1 - ds)
+    ch = jnp.arange(B)[:, None]
+    b_llr = jnp.float32(params.polarity) * \
+        (csum[pos + ds, ch] - csum[pos, ch])
+    bodies = fec._viterbi_core(
+        b_llr.reshape(B, body_bits // 2, 2), 8 * (payload_len + 2))
+    return bodies.astype(jnp.uint8)
+
+
 def decode_frames_batch(params: FSKParams, samples,
                         payload_len: int):
     """Farm-scale soft decode: [B, T] signals -> list of payloads
@@ -373,13 +444,27 @@ def decode_frames_batch(params: FSKParams, samples,
     batched-modulation convention, fsk_mod.modulate_batch).  The whole
     batch costs TWO batched Viterbi calls: one over every
     (channel x grid-offset) header candidate, one over the bodies at
-    each channel's CRC-selected grid.
+    each channel's CRC-selected grid.  The soft planes, sync
+    correlation, LLR windows and Viterbi all stay DEVICE-resident;
+    the only device->host traffic is decoded bits and small index
+    planes (the earlier numpy formulation pulled ~200 MB of soft
+    planes per batch through the interconnect — ~100x slower through
+    the remote-chip tunnel).  Header/body CRC checks run as vectorized
+    table passes on the host (_crc16_rows).
+
+    ``samples`` may be a device-resident jax array (e.g. synthesized
+    on device, the DeviceFarmHub pattern) — it is used in place, no
+    host round trip.
     """
-    samples = np.asarray(samples, np.float32)
-    B = samples.shape[0]
-    out = fsk_demod.soft_stream(params, samples)
-    bits, softs = out.bits, out.softs.astype(np.float64)  # [n_ds, B]
-    n_ds = softs.shape[0]
+    if isinstance(samples, jax.Array):
+        samples = samples.astype(jnp.float32)
+    else:
+        samples = jnp.asarray(np.asarray(samples, np.float32))
+    B, T = samples.shape
+    state = fsk_demod.init_state(params, batch=B)
+    _, _, _, _, bits, _, softs = fsk_demod._soft_stage_jit(
+        params, 0)(state, samples)
+    n_ds = bits.shape[0]
 
     ds = params.ds_samples_per_bit
     if n_ds < HEADER_CODED_BITS * ds:
@@ -387,69 +472,45 @@ def decode_frames_batch(params: FSKParams, samples,
         # candidate index windows below would run past the soft stream
         return [None] * B
 
-    W = params.sync_window
-    ext = jnp.concatenate(
-        [jnp.zeros((W, B), jnp.float32), jnp.asarray(bits)], 0)
-    ratios = np.asarray(fsk_demod._sync_ratios(params, ext))  # [n_ds, B]
-    t_peak = ratios.argmax(axis=0)                     # [B]
-    peak_ok = ratios[t_peak, np.arange(B)] > params.config.sync_threshold
-
     offsets = np.arange(-ds - ds // 4, ds // 4 + 1)    # [n_off]
     n_off = len(offsets)
     h_bits = HEADER_CODED_BITS
-    starts = (t_peak[:, None] + 1 + offsets[None, :])  # [B, n_off]
-    valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
-        peak_ok[:, None]
-    starts_c = np.clip(starts, 0, max(n_ds - h_bits * ds, 0))
+    t_peak_d, peak_ok_d, csum, starts_d, headers_d = \
+        _batch_header_stage(params, bits, softs,
+                            jnp.asarray(offsets, jnp.int32))
+    starts = np.asarray(starts_d)                      # [B, n_off] i32
+    peak_ok = np.asarray(peak_ok_d)
+    headers = np.asarray(headers_d)                    # [B, n_off, 32]
 
-    # header LLR windows for every (channel, offset) candidate.  The
-    # ds-wide sums come from one float64 cumsum so the gather index
-    # arrays are [B, n_off, h] instead of [B, n_off, h, ds] — the
-    # explicit per-sample gather cost ~GBs of host memory at farm B.
-    csum = np.concatenate(
-        [np.zeros((1, B)), np.cumsum(softs, axis=0)], axis=0)
-    pos = (starts_c[:, :, None]
-           + (np.arange(h_bits) * ds)[None, None, :])  # [B, n_off, h]
-    ch = np.arange(B)[:, None, None]
-    h_llr = np.float32(params.polarity) * \
-        (csum[pos + ds, ch] - csum[pos, ch])           # [B, n_off, h]
-    headers = fec.viterbi_decode_soft(
-        h_llr.reshape(B * n_off, h_bits),
-        8 * HEADER_PLAIN).reshape(B, n_off, -1)
-
-    # per channel: first offset whose header CRC validates AND whose
-    # advertised length matches the batch convention
     body_bits = _body_coded_bits(payload_len)
-    chosen = np.full(B, -1, np.int64)
-    for b in range(B):
-        for k in range(n_off):
-            if not valid[b, k]:
-                continue
-            header = fec.bits_to_bytes(headers[b, k])
-            ln = (header[0] << 8) | header[1]
-            crc = (header[2] << 8) | header[3]
-            if CRC16.calculate(header[:2]) != crc or ln != payload_len:
-                continue
-            if starts[b, k] + (h_bits + body_bits) * ds > n_ds:
-                continue
-            chosen[b] = k
-            break
+    valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
+        peak_ok[:, None] & \
+        (starts + (h_bits + body_bits) * ds <= n_ds)
 
-    ok = chosen >= 0
+    # vectorized header validation: bits -> bytes -> CRC + LEN checks
+    hdr_bytes = np.packbits(headers, axis=-1)          # [B, n_off, 4]
+    ln = (hdr_bytes[..., 0].astype(np.uint32) << 8) | hdr_bytes[..., 1]
+    crc = (hdr_bytes[..., 2].astype(np.uint32) << 8) | hdr_bytes[..., 3]
+    hdr_ok = valid & (ln == payload_len) & \
+        (_crc16_rows(hdr_bytes[..., :2]) == crc)
+
     results = [None] * B
-    if not ok.any():
+    if not hdr_ok.any():
         return results
-    sel = np.nonzero(ok)[0]
-    b_starts = starts[sel, chosen[sel]] + h_bits * ds
-    pos = (b_starts[:, None]
-           + (np.arange(body_bits) * ds)[None, :])     # [k, body]
-    b_llr = np.float32(params.polarity) * \
-        (csum[pos + ds, sel[:, None]] - csum[pos, sel[:, None]])
-    bodies = fec.viterbi_decode_soft(b_llr, 8 * (payload_len + 2))
-    for i, b in enumerate(sel):
-        body = fec.bits_to_bytes(bodies[i])
-        payload = body[:payload_len]
-        crc = (body[payload_len] << 8) | body[payload_len + 1]
-        if CRC16.calculate(payload) == crc:
-            results[b] = payload
+    # first validating offset per channel
+    chosen = np.where(hdr_ok.any(axis=1),
+                      hdr_ok.argmax(axis=1), -1)       # [B]
+    ok = chosen >= 0
+    b_starts = np.where(
+        ok, starts[np.arange(B), np.clip(chosen, 0, n_off - 1)]
+        + h_bits * ds, 0).astype(np.int32)
+
+    bodies = np.asarray(_batch_body_stage(
+        params, csum, jnp.asarray(b_starts), payload_len))
+    body_bytes = np.packbits(bodies, axis=-1)          # [B, pl+2]
+    bcrc = (body_bytes[:, payload_len].astype(np.uint32) << 8) | \
+        body_bytes[:, payload_len + 1]
+    body_ok = ok & (_crc16_rows(body_bytes[:, :payload_len]) == bcrc)
+    for b in np.nonzero(body_ok)[0]:
+        results[b] = bytes(body_bytes[b, :payload_len])
     return results
