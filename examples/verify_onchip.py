@@ -167,9 +167,13 @@ def check_mini_arq(batch=64, payload=11):
 
 
 def check_soft_farm(B=1024, payload=9, snr_db=6.0):
-    """Device-resident batched soft decode: B noisy FEC frames in one
-    [B, T] device array -> every payload exact via the two-Viterbi
-    batch path (ops/soft_fsk.decode_frames_batch)."""
+    """Device-resident batched soft path, TX -> channel -> RX all in
+    HBM: B FEC frames synthesized in one dispatch
+    (soft_fsk.encode_frames_batch), AWGN added on device, every
+    payload decoded exactly by the two-Viterbi batch decode
+    (soft_fsk.decode_frames_batch).  No [B, T] array ever crosses the
+    host boundary."""
+    import jax
     import jax.numpy as jnp
 
     from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
@@ -179,15 +183,13 @@ def check_soft_farm(B=1024, payload=9, snr_db=6.0):
     params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
     payloads = [bytes((i * 7 + k) & 0xFF for k in range(payload))
                 for i in range(B)]
-    sigs = np.stack([np.asarray(soft_fsk.encode_frame_signal(params, p))
-                     for p in payloads])
-    rng = np.random.RandomState(3)
-    power = float(np.mean(sigs[0].astype(np.float64) ** 2))
+    sigs = soft_fsk.encode_frames_batch(params, payloads)  # [B, T] dev
+    power = float(jnp.mean(sigs[0].astype(jnp.float32) ** 2))
     amp = np.sqrt(power / (10 ** (snr_db / 10)))
-    noisy = (sigs + amp * rng.standard_normal(sigs.shape)
-             ).astype(np.float32)
-    out = soft_fsk.decode_frames_batch(params, jnp.asarray(noisy),
-                                       payload)
+    noise = jax.random.normal(jax.random.PRNGKey(3), sigs.shape,
+                              jnp.float32)
+    noisy = (sigs + jnp.float32(amp) * noise).astype(jnp.float32)
+    out = soft_fsk.decode_frames_batch(params, noisy, payload)
     bad = sum(1 for o, p in zip(out, payloads) if o != p)
     if bad:
         return False, (f"{bad}/{B} soft channels failed at "

@@ -3,6 +3,7 @@ memo (soft-decision + convolutional FEC + framing) implemented and
 verified."""
 
 import numpy as np
+import pytest
 
 from webaudio_modem_tpu.ops import fec
 from webaudio_modem_tpu.transports.fec_frame import (FrameDecoder,
@@ -524,6 +525,48 @@ class TestStreamingSoftDecode:
         assert frames == [payload]
         # memory stays bounded by the trim window after consumption
         assert len(dec._bits) < 4 * params.sync_window + 10000
+
+
+def test_conv_encode_batch_matches_scalar():
+    # the windowed-parity batch encoder is bit-identical per row to
+    # the scalar FSM encoder
+    from webaudio_modem_tpu.ops import fec
+
+    rng = np.random.RandomState(11)
+    bits = rng.randint(0, 2, size=(16, 73)).astype(np.uint8)
+    batch = fec.conv_encode_bits_batch(bits)
+    for b in range(bits.shape[0]):
+        np.testing.assert_array_equal(batch[b],
+                                      fec.conv_encode_bits(bits[b]))
+
+
+def test_encode_frames_batch_matches_single_and_decodes():
+    # one-dispatch batched frame synthesis: float32-close to the
+    # per-message encode and decode-exact through the batch decoder
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    payloads = [bytes([0x10 * i + k for k in range(7)]) for i in range(5)]
+    batch = np.asarray(soft_fsk.encode_frames_batch(params, payloads))
+    singles = np.stack([soft_fsk.encode_frame_signal(params, p)
+                        for p in payloads])
+    assert batch.shape == singles.shape
+    # int-exact vs f64 phase tables: same phases mod 2*pi, f32 rounding
+    np.testing.assert_allclose(batch, singles, atol=1e-4)
+    out = soft_fsk.decode_frames_batch(params, batch, 7)
+    assert out == payloads
+
+
+def test_encode_frames_batch_validates_input():
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    with pytest.raises(ValueError):
+        soft_fsk.encode_frames_batch(params, [])
+    with pytest.raises(ValueError):
+        soft_fsk.encode_frames_batch(params, [b"ab", b"abc"])
 
 
 def test_soft_batch_device_resident_input_matches_numpy():

@@ -92,6 +92,34 @@ def conv_encode_bits(bits: np.ndarray) -> np.ndarray:
     return coded
 
 
+def conv_encode_bits_batch(bits: np.ndarray) -> np.ndarray:
+    """Encode a batch of equal-length bit rows [B, n] -> coded bits
+    [B, 2 * (n + K - 1)], identical per row to ``conv_encode_bits``.
+
+    The encoder is feed-forward, so coded bit pairs are parities of a
+    K-wide sliding window against the generator taps — one windowed
+    matmul mod 2 instead of a per-bit Python FSM (which cost O(B x n)
+    interpreter steps at farm batch)."""
+    bits = np.asarray(bits, np.uint8)
+    if bits.ndim != 2:
+        raise ValueError("conv_encode_bits_batch expects [B, n] bits")
+    B, n = bits.shape
+    # window rows: reg at input index i = bits[i-K+1 .. i], newest in
+    # the LSB (the scalar loop's register convention)
+    padded = np.concatenate(
+        [np.zeros((B, K - 1), np.uint8), bits,
+         np.zeros((B, K - 1), np.uint8)], axis=1)
+    idx = np.arange(n + K - 1)[:, None] + np.arange(K)[None, :]
+    win = padded[:, idx].astype(np.int32)        # [B, n+K-1, K]
+    # G bit (K-1-j) taps window column j (oldest bit at the MSB)
+    g0 = np.array([(G0 >> (K - 1 - j)) & 1 for j in range(K)], np.int32)
+    g1 = np.array([(G1 >> (K - 1 - j)) & 1 for j in range(K)], np.int32)
+    coded = np.empty((B, 2 * (n + K - 1)), np.uint8)
+    coded[:, 0::2] = (win @ g0) & 1
+    coded[:, 1::2] = (win @ g1) & 1
+    return coded
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _viterbi_core(soft, n_bits: int):
     """soft: [..., n_bits + K - 1, 2] correlations (+1 ~ coded bit 1,
