@@ -19,6 +19,10 @@ import numpy as np
 
 
 def main():
+    # honor JAX_PLATFORMS even when a site hook imported jax first
+    # (CPU smoke runs; the driver's axon env is a no-op update)
+    from webaudio_modem_tpu.utils.platform import ensure_env_platform
+    ensure_env_platform()
     import jax
 
     # Persistent compile cache ONLY for the (remote-compiled) TPU
@@ -49,6 +53,8 @@ def main():
         if "--batch" in sys.argv else 2048
     family = sys.argv[sys.argv.index("--family") + 1] \
         if "--family" in sys.argv else "fsk"
+    if family == "soft":
+        return bench_soft(B)
     chunk_t = 4800          # 0.1 s of 48 kHz audio per step
     # 40 s of audio timed per pass: the chip is reached through a
     # tunnel whose one-time dispatch latency (~28 ms) would otherwise
@@ -192,6 +198,77 @@ def main():
               else "concurrent_1200baud_psk_channels_realtime")
     print(json.dumps({
         "metric": metric,
+        "value": round(channels_realtime, 1),
+        "unit": "channels",
+        "vs_baseline": round(channels_realtime / 4096.0, 3),
+    }))
+
+
+def bench_soft(B):
+    """Secondary headline: farm-scale soft-decision FEC frames
+    (``python bench.py --family soft``).  Frame-granular, not
+    streaming: each pass synthesizes nothing and uploads nothing —
+    the noisy [B, T] batch lives in HBM and every timed iteration is
+    one full decode_frames_batch (two jitted device stages + the
+    vectorized host CRC selection between them).  The metric is
+    realtime channels: B x frame_audio_seconds / per-batch seconds.
+    Correctness-gated: every payload in the warmup decode must be
+    exact at 8 dB SNR."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                  FSKParams)
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)   # 1200 baud
+    payload = 16
+    snr_db = 8.0
+    payloads = [bytes((i * 13 + k) & 0xFF for k in range(payload))
+                for i in range(B)]
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    sigs = soft_fsk.encode_frames_batch(params, payloads)  # [B, T] dev
+    T = sigs.shape[1]
+    power = float(jnp.mean(sigs[0].astype(jnp.float32) ** 2))
+    amp = np.sqrt(power / (10 ** (snr_db / 10)))
+    noise = jax.random.normal(jax.random.PRNGKey(7), sigs.shape,
+                              jnp.float32)
+    noisy = jax.block_until_ready(
+        (sigs + jnp.float32(amp) * noise).astype(jnp.float32))
+
+    # warmup / compile + correctness gate
+    out = soft_fsk.decode_frames_batch(params, noisy, payload)
+    bad = sum(1 for o, p in zip(out, payloads) if o != p)
+    assert bad == 0, f"soft bench gate: {bad}/{B} frames failed " \
+                     f"exact decode at {snr_db:g} dB"
+
+    # slope over two pass counts cancels one-time setup; per-call
+    # host<->device round trips are inherent to this API (the CRC grid
+    # selection sits between the two device stages) and are REPORTED,
+    # not hidden.
+    walls = {}
+    for n_iter in (2, 8):
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            for _i in range(n_iter):
+                soft_fsk.decode_frames_batch(params, noisy, payload)
+            w = _time.perf_counter() - t0
+            best = min(best, w)
+        walls[n_iter] = best
+    per_batch = (walls[8] - walls[2]) / 6
+    audio_seconds = T / params.config.sample_rate
+    channels_realtime = B * audio_seconds / per_batch
+    frames_per_s = B / per_batch
+    print(f"B={B} T={T} per_batch={per_batch * 1e3:.1f}ms "
+          f"frames/s={frames_per_s:.0f} "
+          f"frame_audio={audio_seconds:.3f}s snr={snr_db:g}dB",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "concurrent_1200baud_soft_fec_channels_realtime",
         "value": round(channels_realtime, 1),
         "unit": "channels",
         "vs_baseline": round(channels_realtime / 4096.0, 3),
