@@ -51,8 +51,19 @@ HEADER_PLAIN = fec.FRAME_HEADER_PLAIN  # LEN(2) + CRC16(LEN)
 HEADER_CODED_BITS = 2 * (8 * HEADER_PLAIN + fec.K - 1)
 
 
-def _body_coded_bits(payload_len: int) -> int:
-    return 2 * (8 * (payload_len + 2) + fec.K - 1)
+def _body_coded_bits(payload_len: int, rs_parity: int = 0) -> int:
+    return 2 * (8 * (payload_len + 2 + rs_parity) + fec.K - 1)
+
+
+def _check_rs(payload_len: int, rs_parity: int) -> None:
+    if rs_parity == 0:
+        return
+    if rs_parity % 2 or rs_parity < 2:
+        raise ValueError(f"rs_parity must be even >= 2, got {rs_parity}")
+    if payload_len + 2 + rs_parity > 255:
+        raise ValueError(
+            f"RS codeword {payload_len + 2 + rs_parity} bytes exceeds "
+            "255; shorten the payload or the parity")
 
 
 def encode_frame_signal(params: FSKParams, payload: bytes) -> np.ndarray:
@@ -68,7 +79,8 @@ def encode_frame_signal(params: FSKParams, payload: bytes) -> np.ndarray:
     return fsk_mod.modulate_bits(params, bits)
 
 
-def encode_frames_batch(params: FSKParams, payloads) -> "jax.Array":
+def encode_frames_batch(params: FSKParams, payloads,
+                        rs_parity: int = 0) -> "jax.Array":
     """Equal-length payloads -> FSK signals [B, T], ONE device
     synthesis dispatch.
 
@@ -81,19 +93,35 @@ def encode_frames_batch(params: FSKParams, payloads) -> "jax.Array":
     ``decode_frames_batch`` or a device channel model).  Phase tables
     follow ``fsk_mod.modulate_batch`` (exact-integer form for integer
     configs), so samples agree with ``encode_frame_signal`` to float32
-    rounding; decoded bytes are identical."""
+    rounding; decoded bytes are identical.
+
+    ``rs_parity`` > 0 switches the body to CONCATENATED coding (the
+    memo's block-code branch as the outer code): body bytes =
+    RS-systematic(payload + CRC16) with ``rs_parity`` parity symbols
+    (ops/rs.py), then the rate-1/2 convolutional inner code as usual.
+    The Viterbi inner decoder turns channel bursts into short byte
+    errors, which the RS outer code corrects — up to rs_parity/2
+    corrupted body bytes per frame."""
     payloads = [bytes(p) for p in payloads]
     if not payloads:
         raise ValueError("encode_frames_batch requires >= 1 payload")
     if len({len(p) for p in payloads}) != 1:
         raise ValueError("encode_frames_batch requires equal-length "
                          "payloads")
+    _check_rs(len(payloads[0]), rs_parity)
     B = len(payloads)
     # the header depends only on the (shared) length: encode it once
     hdr_coded = fec.conv_encode_bits(fec.bytes_to_bits(
         fec.build_frame_header(len(payloads[0])))).astype(np.int8)
     body_bits = np.stack([fec.bytes_to_bits(fec.build_frame_body(p))
                           for p in payloads])
+    if rs_parity:
+        from webaudio_modem_tpu.ops import rs
+        body_bytes = np.packbits(body_bits, axis=1)     # [B, pl+2]
+        k_rs = body_bytes.shape[1]
+        coded = np.asarray(rs.rs_encode_batch(
+            body_bytes, k_rs + rs_parity, k_rs)).astype(np.uint8)
+        body_bits = np.unpackbits(coded, axis=1)
     body_coded = fec.conv_encode_bits_batch(body_bits).astype(np.int8)
     pattern = np.asarray(params.pattern_bits, np.int8)
     bits = np.concatenate([
@@ -110,9 +138,10 @@ def encode_frames_batch(params: FSKParams, payloads) -> "jax.Array":
                           (lead, trail))
 
 
-def frame_signal_length(params: FSKParams, payload_len: int) -> int:
+def frame_signal_length(params: FSKParams, payload_len: int,
+                        rs_parity: int = 0) -> int:
     n_bits = (len(params.pattern_bits) + HEADER_CODED_BITS
-              + _body_coded_bits(payload_len))
+              + _body_coded_bits(payload_len, rs_parity))
     return (n_bits * params.samples_per_bit
             + 2 * params.samples_per_bit
             + params.bits_per_byte * params.samples_per_bit)
@@ -457,14 +486,16 @@ def _batch_header_stage(params: FSKParams, bits, softs, offsets):
             headers.astype(jnp.uint8))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def _batch_body_stage(params: FSKParams, csum, b_starts,
-                      payload_len: int):
+                      payload_len: int, rs_parity: int = 0):
     """Device half 2: body LLR windows at each channel's chosen grid +
-    ONE batched Viterbi.  Invalid channels decode garbage at a clipped
-    start and are masked on the host."""
+    ONE batched Viterbi (+ the batched RS outer decode when the frame
+    is concatenated-coded).  Invalid channels decode garbage at a
+    clipped start and are masked on the host."""
     ds = params.ds_samples_per_bit
-    body_bits = _body_coded_bits(payload_len)
+    body_bits = _body_coded_bits(payload_len, rs_parity)
+    n_body_bytes = payload_len + 2 + rs_parity
     n_rows, B = csum.shape
     pos = (b_starts[:, None]
            + (jnp.arange(body_bits) * ds)[None, :])    # [B, body]
@@ -473,14 +504,32 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     b_llr = jnp.float32(params.polarity) * \
         (csum[pos + ds, ch] - csum[pos, ch])
     bodies = fec._viterbi_core(
-        b_llr.reshape(B, body_bits // 2, 2), 8 * (payload_len + 2))
+        b_llr.reshape(B, body_bits // 2, 2), 8 * n_body_bytes)
+    if rs_parity:
+        from webaudio_modem_tpu.ops import rs
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+        byts = jnp.sum(bodies.astype(jnp.int32)
+                       .reshape(B, n_body_bytes, 8) * weights, axis=-1)
+        corrected, _, _ = rs.rs_decode_batch(
+            byts, n_body_bytes, payload_len + 2)
+        # hand back the corrected data bytes as bits so the host path
+        # below is identical for both modes (CRC16 stays the gate)
+        bits = jnp.right_shift(
+            corrected[:, :payload_len + 2, None],
+            jnp.arange(7, -1, -1)[None, None, :]) & 1
+        return bits.reshape(B, 8 * (payload_len + 2)).astype(jnp.uint8)
     return bodies.astype(jnp.uint8)
 
 
 def decode_frames_batch(params: FSKParams, samples,
-                        payload_len: int):
+                        payload_len: int, rs_parity: int = 0):
     """Farm-scale soft decode: [B, T] signals -> list of payloads
     (None per channel that failed).
+
+    ``rs_parity`` must match the encoder's: when > 0 the body is
+    concatenated-coded (RS outer over payload+CRC, convolutional
+    inner) and the batched RS decode runs on device between the body
+    Viterbi and the host CRC gate.
 
     All channels must carry frames with the SAME payload length (the
     batched-modulation convention, fsk_mod.modulate_batch).  The whole
@@ -498,6 +547,7 @@ def decode_frames_batch(params: FSKParams, samples,
     on device, the DeviceFarmHub pattern) — it is used in place, no
     host round trip.
     """
+    _check_rs(payload_len, rs_parity)
     if isinstance(samples, jax.Array):
         samples = samples.astype(jnp.float32)
     else:
@@ -524,7 +574,7 @@ def decode_frames_batch(params: FSKParams, samples,
     peak_ok = np.asarray(peak_ok_d)
     headers = np.asarray(headers_d)                    # [B, n_off, 32]
 
-    body_bits = _body_coded_bits(payload_len)
+    body_bits = _body_coded_bits(payload_len, rs_parity)
     valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
         peak_ok[:, None] & \
         (starts + (h_bits + body_bits) * ds <= n_ds)
@@ -548,7 +598,7 @@ def decode_frames_batch(params: FSKParams, samples,
         + h_bits * ds, 0).astype(np.int32)
 
     bodies = np.asarray(_batch_body_stage(
-        params, csum, jnp.asarray(b_starts), payload_len))
+        params, csum, jnp.asarray(b_starts), payload_len, rs_parity))
     body_bytes = np.packbits(bodies, axis=-1)          # [B, pl+2]
     bcrc = (body_bytes[:, payload_len].astype(np.uint32) << 8) | \
         body_bytes[:, payload_len + 1]
