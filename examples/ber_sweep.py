@@ -36,6 +36,9 @@ def main():
                     help="frame-success sweep: hard UART modem vs the "
                          "soft FSK+FEC physical path (docs/FEC.md)")
     ap.add_argument("--payload", type=int, default=20)
+    ap.add_argument("--rs", type=int, default=0, metavar="PARITY",
+                    help="with --soft: add a concatenated RS-outer "
+                         "column (rs_parity bytes, docs/FEC.md)")
     args = ap.parse_args()
 
     if args.soft:
@@ -83,18 +86,31 @@ def soft_sweep(args):
         noise = amp * (rng.uniform(size=len(sig)) * 2 - 1)
         return (np.asarray(sig) + noise).astype(np.float32)
 
-    print(f"{'SNR dB':>8} {'soft+FEC FSR':>14} {'hard UART FSR':>14}")
+    rs_sig = (soft_fsk.encode_frame_signal(params, payload,
+                                           rs_parity=args.rs)
+              if args.rs else None)
+    hdr = f"{'SNR dB':>8} {'soft+FEC FSR':>14} {'hard UART FSR':>14}"
+    if args.rs:
+        hdr += f" {'+RS(%d) FSR' % args.rs:>14}"
+    print(hdr)
     for snr in args.snrs:
         rng = np.random.RandomState(1000 + int(snr * 10))
-        s_ok = h_ok = 0
+        s_ok = h_ok = r_ok = 0
         for _ in range(args.messages):
             s_ok += soft_fsk.decode_frame_signal(
                 params, add_noise(soft_sig, snr, rng)) == payload
             core = FSKCore(config)
             h_ok += core.demodulate_data(
                 add_noise(core.modulate_data(payload), snr, rng)) == payload
-        print(f"{snr:>8.1f} {s_ok / args.messages:>14.2f} "
-              f"{h_ok / args.messages:>14.2f}")
+            if args.rs:
+                r_ok += soft_fsk.decode_frame_signal(
+                    params, add_noise(rs_sig, snr, rng),
+                    rs_parity=args.rs) == payload
+        row = (f"{snr:>8.1f} {s_ok / args.messages:>14.2f} "
+               f"{h_ok / args.messages:>14.2f}")
+        if args.rs:
+            row += f" {r_ok / args.messages:>14.2f}"
+        print(row)
 
 
 if __name__ == "__main__":

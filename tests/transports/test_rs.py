@@ -219,6 +219,29 @@ class TestConcatenatedSoftPath:
                                               rs_parity=12)
         assert out_rs == payloads       # RS outer corrects the burst
 
+    def test_single_and_streaming_paths_roundtrip(self):
+        # the per-signal and chunked decoders speak the same
+        # concatenated wire format as the batch path
+        from webaudio_modem_tpu.ops import soft_fsk
+        params = self._params()
+        payload = bytes(range(17))
+        sig = soft_fsk.encode_frame_signal(params, payload, rs_parity=8)
+        # batch and single encoders produce the same frame layout
+        batch_sig = np.asarray(soft_fsk.encode_frames_batch(
+            params, [payload], rs_parity=8))[0]
+        np.testing.assert_allclose(sig, batch_sig, atol=1e-4)
+        assert soft_fsk.decode_frame_signal(params, sig,
+                                            rs_parity=8) == payload
+        # chunked: arbitrary split, frame spans the boundary
+        chunks = [sig[:1000], sig[1000:7777], sig[7777:]]
+        assert soft_fsk.decode_frame_chunks(params, chunks,
+                                            rs_parity=8) == [payload]
+        # cross-path: the batch decoder reads the single encoder's
+        # signal (tiled) and vice versa
+        out = soft_fsk.decode_frames_batch(
+            params, np.stack([sig, sig]), len(payload), rs_parity=8)
+        assert out == [payload, payload]
+
     def test_rs_parity_validation(self):
         from webaudio_modem_tpu.ops import soft_fsk
         params = self._params()

@@ -66,14 +66,24 @@ def _check_rs(payload_len: int, rs_parity: int) -> None:
             "255; shorten the payload or the parity")
 
 
-def encode_frame_signal(params: FSKParams, payload: bytes) -> np.ndarray:
-    """payload -> FSK signal carrying a coded frame (float32 [T])."""
+def encode_frame_signal(params: FSKParams, payload: bytes,
+                        rs_parity: int = 0) -> np.ndarray:
+    """payload -> FSK signal carrying a coded frame (float32 [T]).
+    ``rs_parity`` > 0 selects the concatenated RS-outer mode (see
+    ``encode_frames_batch``)."""
     payload = bytes(payload)
+    _check_rs(len(payload), rs_parity)
+    body = fec.build_frame_body(payload)
+    if rs_parity:
+        from webaudio_modem_tpu.ops import rs
+        arr = np.frombuffer(body, np.uint8)[None, :]
+        body = bytes(np.asarray(rs.rs_encode_batch(
+            arr, len(body) + rs_parity, len(body)))[0]
+            .astype(np.uint8).tolist())
     coded = np.concatenate([
         fec.conv_encode_bits(fec.bytes_to_bits(
             fec.build_frame_header(len(payload)))),
-        fec.conv_encode_bits(fec.bytes_to_bits(
-            fec.build_frame_body(payload)))])
+        fec.conv_encode_bits(fec.bytes_to_bits(body))])
     bits = np.concatenate([np.asarray(params.pattern_bits, np.int8),
                            coded.astype(np.int8)])
     return fsk_mod.modulate_bits(params, bits)
@@ -160,11 +170,36 @@ def _bit_llrs(params: FSKParams, softs: np.ndarray, start: int,
     return np.float32(params.polarity) * win.sum(axis=1)
 
 
+def _payload_from_body_llr(b_llr, ln: int,
+                           rs_parity: int) -> Optional[bytes]:
+    """Body LLRs -> CRC-checked payload (or None).  Shared by the
+    whole-signal and streaming decoders so the concatenated RS-outer
+    mode behaves identically in both: inner Viterbi, optional batched
+    RS correction (B=1 here), then the CRC16 gate."""
+    if rs_parity and ln + 2 + rs_parity > 255:
+        return None                     # corrupt header length
+    body_bits = fec.viterbi_decode_soft(
+        b_llr, 8 * (ln + 2 + rs_parity))
+    body = fec.bits_to_bytes(body_bits)
+    if rs_parity:
+        from webaudio_modem_tpu.ops import rs
+        arr = np.frombuffer(body, np.uint8)[None, :]
+        corrected, _, _ = rs.rs_decode_batch(
+            arr, ln + 2 + rs_parity, ln + 2)
+        body = bytes(np.asarray(corrected)[0, :ln + 2]
+                     .astype(np.uint8).tolist())
+    payload = body[:ln]
+    if CRC16.calculate(payload) == ((body[ln] << 8) | body[ln + 1]):
+        return payload
+    return None
+
+
 def decode_frame_signal(params: FSKParams, samples,
-                        state=None) -> Optional[bytes]:
+                        state=None, rs_parity: int = 0) -> Optional[bytes]:
     """Full memo receive flow on one signal: sync -> soft FEC decode of
     the header -> soft FEC decode of the body -> CRC-checked payload.
-    Returns None when no valid frame is found."""
+    Returns None when no valid frame is found.  ``rs_parity`` must
+    match the encoder's (concatenated RS-outer mode)."""
     samples = np.asarray(samples, np.float32)
     out = fsk_demod.soft_stream(params, samples)
     bits = out.bits[:, 0]
@@ -205,14 +240,11 @@ def decode_frame_signal(params: FSKParams, samples,
                 continue
             b_llr = _bit_llrs(params, softs,
                               off + HEADER_CODED_BITS * ds,
-                              _body_coded_bits(ln))
+                              _body_coded_bits(ln, rs_parity))
             if b_llr is None:
                 continue
-            body_bits = fec.viterbi_decode_soft(b_llr, 8 * (ln + 2))
-            body = fec.bits_to_bytes(body_bits)
-            payload = body[:ln]
-            if CRC16.calculate(payload) == \
-                    ((body[ln] << 8) | body[ln + 1]):
+            payload = _payload_from_body_llr(b_llr, ln, rs_parity)
+            if payload is not None:
                 return payload
     return None
 
@@ -245,8 +277,11 @@ class SoftFrameDecoder:
 
     # extra ds samples kept behind the scan point: W of correlation
     # history + the LLR grid's look-back before a peak (~1.25 ds)
-    def __init__(self, params: FSKParams, max_candidates_per_scan: int = 64):
+    def __init__(self, params: FSKParams, max_candidates_per_scan: int = 64,
+                 rs_parity: int = 0):
+        _check_rs(0, rs_parity)
         self._params = params
+        self._rs_parity = rs_parity
         self._state = None
         self._ds_phase = 0
         self._bits = np.zeros((0,), np.float32)
@@ -385,7 +420,7 @@ class SoftFrameDecoder:
             crc = (header[2] << 8) | header[3]
             if CRC16.calculate(header[:2]) != crc:
                 continue
-            body_bits = _body_coded_bits(ln)
+            body_bits = _body_coded_bits(ln, self._rs_parity)
             body_start = off + HEADER_CODED_BITS * ds
             if body_start + body_bits * ds > end_abs:
                 definitive = False  # body still arriving — retry later
@@ -393,11 +428,9 @@ class SoftFrameDecoder:
             b_llr = self._llrs(body_start, body_bits)
             if b_llr is None:
                 continue
-            decoded = fec.bits_to_bytes(
-                fec.viterbi_decode_soft(b_llr, 8 * (ln + 2)))
-            payload = decoded[:ln]
-            if CRC16.calculate(payload) == \
-                    ((decoded[ln] << 8) | decoded[ln + 1]):
+            payload = _payload_from_body_llr(b_llr, ln,
+                                             self._rs_parity)
+            if payload is not None:
                 self.frames_decoded += 1
                 self._scan_from = body_start + body_bits * ds
                 self._failed = {t for t in self._failed
@@ -425,11 +458,12 @@ class SoftFrameDecoder:
             self._ratio_first += rcut
 
 
-def decode_frame_chunks(params: FSKParams, chunks) -> list:
+def decode_frame_chunks(params: FSKParams, chunks,
+                        rs_parity: int = 0) -> list:
     """Convenience: run the streaming decoder over an iterable of
     sample chunks and return every decoded payload (the chunked mode of
     ``decode_frame_signal`` — byte-identical output for any split)."""
-    dec = SoftFrameDecoder(params)
+    dec = SoftFrameDecoder(params, rs_parity=rs_parity)
     frames = []
     for chunk in chunks:
         frames += dec.feed(chunk)
