@@ -95,6 +95,9 @@ def soft_sweep(args):
     print(hdr)
     for snr in args.snrs:
         rng = np.random.RandomState(1000 + int(snr * 10))
+        # the RS column draws from its OWN stream so the soft/hard
+        # columns print identical values with and without --rs
+        rng_rs = np.random.RandomState(5000 + int(snr * 10))
         s_ok = h_ok = r_ok = 0
         for _ in range(args.messages):
             s_ok += soft_fsk.decode_frame_signal(
@@ -104,7 +107,7 @@ def soft_sweep(args):
                 add_noise(core.modulate_data(payload), snr, rng)) == payload
             if args.rs:
                 r_ok += soft_fsk.decode_frame_signal(
-                    params, add_noise(rs_sig, snr, rng),
+                    params, add_noise(rs_sig, snr, rng_rs),
                     rs_parity=args.rs) == payload
         row = (f"{snr:>8.1f} {s_ok / args.messages:>14.2f} "
                f"{h_ok / args.messages:>14.2f}")

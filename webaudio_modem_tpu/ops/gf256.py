@@ -94,12 +94,6 @@ def inv(a):
     return jnp.where(a == 0, 0, exp[ORDER - log[a]])
 
 
-def pow_alpha(e):
-    """alpha^e for integer exponents e (jax), e taken mod 255."""
-    exp, _ = _jnp_tables()
-    return exp[jnp.mod(e, ORDER)]
-
-
 def np_poly_mul(p: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Polynomial product over GF(256) (host; coefficients high-first,
     matching the wire's byte order)."""

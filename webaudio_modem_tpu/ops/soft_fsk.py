@@ -66,6 +66,18 @@ def _check_rs(payload_len: int, rs_parity: int) -> None:
             "255; shorten the payload or the parity")
 
 
+def _rs_encode_bodies(body_bytes: np.ndarray,
+                      rs_parity: int) -> np.ndarray:
+    """[B, k] frame bodies -> [B, k + rs_parity] RS codewords (the
+    concatenated mode's outer code) — the ONE place both encoders get
+    their wire format from."""
+    from webaudio_modem_tpu.ops import rs
+
+    k = body_bytes.shape[1]
+    return np.asarray(rs.rs_encode_batch(
+        body_bytes, k + rs_parity, k)).astype(np.uint8)
+
+
 def encode_frame_signal(params: FSKParams, payload: bytes,
                         rs_parity: int = 0) -> np.ndarray:
     """payload -> FSK signal carrying a coded frame (float32 [T]).
@@ -75,11 +87,9 @@ def encode_frame_signal(params: FSKParams, payload: bytes,
     _check_rs(len(payload), rs_parity)
     body = fec.build_frame_body(payload)
     if rs_parity:
-        from webaudio_modem_tpu.ops import rs
-        arr = np.frombuffer(body, np.uint8)[None, :]
-        body = bytes(np.asarray(rs.rs_encode_batch(
-            arr, len(body) + rs_parity, len(body)))[0]
-            .astype(np.uint8).tolist())
+        body = _rs_encode_bodies(
+            np.frombuffer(body, np.uint8)[None, :], rs_parity)[0] \
+            .tobytes()
     coded = np.concatenate([
         fec.conv_encode_bits(fec.bytes_to_bits(
             fec.build_frame_header(len(payload)))),
@@ -126,11 +136,8 @@ def encode_frames_batch(params: FSKParams, payloads,
     body_bits = np.stack([fec.bytes_to_bits(fec.build_frame_body(p))
                           for p in payloads])
     if rs_parity:
-        from webaudio_modem_tpu.ops import rs
-        body_bytes = np.packbits(body_bits, axis=1)     # [B, pl+2]
-        k_rs = body_bytes.shape[1]
-        coded = np.asarray(rs.rs_encode_batch(
-            body_bytes, k_rs + rs_parity, k_rs)).astype(np.uint8)
+        coded = _rs_encode_bodies(np.packbits(body_bits, axis=1),
+                                  rs_parity)
         body_bits = np.unpackbits(coded, axis=1)
     body_coded = fec.conv_encode_bits_batch(body_bits).astype(np.int8)
     pattern = np.asarray(params.pattern_bits, np.int8)
@@ -200,6 +207,7 @@ def decode_frame_signal(params: FSKParams, samples,
     the header -> soft FEC decode of the body -> CRC-checked payload.
     Returns None when no valid frame is found.  ``rs_parity`` must
     match the encoder's (concatenated RS-outer mode)."""
+    _check_rs(0, rs_parity)
     samples = np.asarray(samples, np.float32)
     out = fsk_demod.soft_stream(params, samples)
     bits = out.bits[:, 0]
@@ -501,6 +509,13 @@ def _batch_header_stage(params: FSKParams, bits, softs, offsets):
     peak = jnp.take_along_axis(ratios, t_peak[None, :], axis=0)[0]
     peak_ok = peak > jnp.float32(params.config.sync_threshold)
 
+    # float32 cumsum (the per-signal host path uses f64): the LLR
+    # window sums are differences of csum ds apart, so the error is
+    # bounded by f32 eps x |csum| — softs are zero-mean under noise
+    # (random-walk ~sqrt(n_ds)) and <= n_ds/2 in the all-one-tone
+    # worst case, keeping window-sum error <= ~0.1% of its magnitude
+    # even at maximum frame length.  TPU f64 would be emulated and
+    # slow; CRC gates any borderline flip as a clean None.
     csum = jnp.concatenate(
         [jnp.zeros((1, B), jnp.float32),
          jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
