@@ -113,16 +113,12 @@ def test_default_648_code_end_to_end():
     np.testing.assert_array_equal(np.asarray(out), data)
 
 
-def test_ldpc_over_fsk_audio():
+def test_ldpc_over_fsk_audio(soft_grid_search):
     """The memo's soft-value requirement end-to-end for LDPC: FSK
     audio -> soft discriminator LLRs -> min-sum decode.  The bit-grid
     offset is self-selecting: LDPC's own syndrome check validates the
     grid, playing the role the header CRC plays for conv frames."""
-    import jax.numpy as jnp
-
     from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
-    from webaudio_modem_tpu.ops import fsk_demod, fsk_mod, soft_fsk
-    from webaudio_modem_tpu.ops.soft_fsk import _bit_llrs
 
     params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
     code = default_code(n=120, wc=3, wr=6)
@@ -130,36 +126,13 @@ def test_ldpc_over_fsk_audio():
     data = rng.randint(0, 2, size=(1, code.k))
     cw = np.asarray(code.encode_batch(data))[0]
 
-    # sync pattern + raw codeword bits as FSK symbols (no UART, no conv)
-    bits = np.concatenate([np.asarray(params.pattern_bits, np.int8),
-                           cw.astype(np.int8)])[None]
-    offsets, omega = fsk_mod._phase_tables(params, bits)
-    sig = np.asarray(fsk_mod._synth(
-        offsets, omega, params.samples_per_bit,
-        (2 * params.samples_per_bit, params.samples_per_bit)))[0]
-    sig = (sig + 0.08 * rng.standard_normal(len(sig))).astype(np.float32)
-
-    out = fsk_demod.soft_stream(params, sig)
-    softs = np.asarray(out.softs)[:, 0].astype(np.float64)
-    bbits = np.asarray(out.bits)[:, 0]
-    ds = params.ds_samples_per_bit
-    W = params.sync_window
-    ext = jnp.concatenate([jnp.zeros((W, 1), jnp.float32),
-                           jnp.asarray(bbits)[:, None]], 0)
-    ratios = np.asarray(fsk_demod._sync_ratios(params, ext))[:, 0]
-    t_peak = int(ratios.argmax())
-
-    decoded = None
-    for off in range(t_peak + 1 - ds - ds // 4, t_peak + 1 + ds // 4 + 1):
-        llr = _bit_llrs(params, softs, off, code.n)
-        if llr is None:
-            continue
+    def attempt(llr):
         # discriminator sign: positive soft = mark = bit 1, so the
         # LDPC llr (positive = bit 0) is the negation
         out_bits, ok = code.decode_batch(-llr[None].astype(np.float32))
-        if bool(np.asarray(ok)[0]):
-            decoded = np.asarray(out_bits)[0]
-            break
+        return np.asarray(out_bits)[0] if bool(np.asarray(ok)[0]) else None
+
+    decoded, _ = soft_grid_search(params, cw, 0.08, rng, attempt)
     assert decoded is not None, "no grid offset produced a codeword"
     np.testing.assert_array_equal(decoded, data[0])
 

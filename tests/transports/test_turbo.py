@@ -103,18 +103,14 @@ def test_deterministic_across_construction():
                                   b.encode_batch(data))
 
 
-def test_turbo_over_fsk_audio(code):
+def test_turbo_over_fsk_audio(code, soft_grid_search):
     """The memo's soft-value requirement end-to-end for turbo: FSK
     audio -> soft discriminator LLRs -> max-log-MAP decode.  Turbo has
     no intrinsic syndrome, so the documented layering applies: a CRC16
     inside the K data bits validates both the decode and the bit-grid
     offset (the role LDPC's syndrome plays in the sibling test)."""
-    import jax.numpy as jnp
-
     from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
-    from webaudio_modem_tpu.ops import fsk_demod, fsk_mod
     from webaudio_modem_tpu.ops.fec import bits_to_bytes, bytes_to_bits
-    from webaudio_modem_tpu.ops.soft_fsk import _bit_llrs
     from webaudio_modem_tpu.utils.crc16 import CRC16
 
     params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
@@ -126,41 +122,21 @@ def test_turbo_over_fsk_audio(code):
     data = bytes_to_bits(frame)[None]            # [1, K] MSB-first
     cw = np.asarray(code.encode_batch(data))[0]
 
-    # sync pattern + raw codeword bits as FSK symbols (no UART, no conv)
-    bits = np.concatenate([np.asarray(params.pattern_bits, np.int8),
-                           cw.astype(np.int8)])[None]
-    offsets, omega = fsk_mod._phase_tables(params, bits)
-    sig = np.asarray(fsk_mod._synth(
-        offsets, omega, params.samples_per_bit,
-        (2 * params.samples_per_bit, params.samples_per_bit)))[0]
-    sig = (sig + 0.6 * rng.standard_normal(len(sig))).astype(np.float32)
-
-    out = fsk_demod.soft_stream(params, sig)
-    softs = np.asarray(out.softs)[:, 0].astype(np.float64)
-    bbits = np.asarray(out.bits)[:, 0]
-    ds = params.ds_samples_per_bit
-    W = params.sync_window
-    ext = jnp.concatenate([jnp.zeros((W, 1), jnp.float32),
-                           jnp.asarray(bbits)[:, None]], 0)
-    ratios = np.asarray(fsk_demod._sync_ratios(params, ext))[:, 0]
-    t_peak = int(ratios.argmax())
-
-    decoded = None
-    for off in range(t_peak + 1 - ds - ds // 4, t_peak + 1 + ds // 4 + 1):
-        llr = _bit_llrs(params, softs, off, code.n)
-        if llr is None:
-            continue
+    def attempt(llr):
         # positive soft = mark = bit 1; turbo LLRs are positive = bit 0
         out_bits = np.asarray(
             code.decode_batch(-llr[None].astype(np.float32)))[0]
         dec = bits_to_bytes(out_bits)
         if CRC16.calculate(dec[:-2]) == int.from_bytes(dec[-2:], "big"):
-            # the channel is genuinely corrupting: the winning grid's
-            # hard decisions alone are visibly wrong
-            assert int(((llr > 0).astype(np.int32) != cw).sum()) > 10
-            decoded = dec
-            break
+            return dec
+        return None
+
+    decoded, llr = soft_grid_search(params, cw, 0.6, rng, attempt)
+    assert decoded is not None, "no grid offset passed the CRC"
     assert decoded == frame
+    # the channel is genuinely corrupting: the winning grid's hard
+    # decisions alone are visibly wrong
+    assert int(((llr > 0).astype(np.int32) != cw).sum()) > 10
 
 
 def test_input_validation(code):

@@ -43,6 +43,10 @@ N_STATES = 1 << M        # 8
 _F = (0, 1, 1)           # feedback taps on (a_{t-1}, a_{t-2}, a_{t-3})
 _G = (1, 0, 1)           # forward taps on the same (plus a_t itself)
 TAIL = M                 # termination steps for component 1
+_EXT_SCALE = 0.75        # max-log-MAP extrinsic damping (cf. ldpc.py's
+                         # _MINSUM_SCALE): max-approx extrinsics are
+                         # overconfident; scaling them on exchange
+                         # recovers most of the true-MAP gain
 
 
 @functools.lru_cache(maxsize=1)
@@ -244,11 +248,11 @@ class TurboCode:
             # component 1 (terminated): a priori only on the K data bits
             in1 = sys1 + jnp.concatenate([la1, zeros_tail], axis=1)
             llr1 = self._max_log_map(in1, par1, a0, b_term)
-            le1 = llr1[:, :K] - in1[:, :K]
+            le1 = _EXT_SCALE * (llr1[:, :K] - in1[:, :K])
             # component 2 (open): interleaved systematic + a priori
             in2 = l_sys[:, perm] + le1[:, perm]
             llr2 = self._max_log_map(in2, l_par2, a0, b_open)
-            le2 = llr2 - in2
+            le2 = _EXT_SCALE * (llr2 - in2)
             return le2[:, inv]                          # new la1
 
         la1 = jax.lax.fori_loop(
