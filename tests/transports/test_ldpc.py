@@ -142,3 +142,101 @@ def test_input_validation(code):
         code.encode_batch(np.zeros((2, code.k + 1)))
     with pytest.raises(ValueError):
         code.decode_batch(np.zeros((2, code.n - 1), np.float32))
+
+
+class TestLdpcBodyMode:
+    """LDPC as the soft frame path's BODY code (``body_code=`` on the
+    encoders/decoders): the memo's stronger family riding the real
+    framing pipeline — conv header for boundary detection, LDPC
+    codewords for the payload."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKParams)
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        code = default_code(n=648, wc=3, wr=6)
+        rng = np.random.RandomState(0)
+        payload = bytes(rng.randint(0, 256, size=40,
+                                    dtype=np.int64).astype(np.uint8))
+        return params, code, payload, soft_fsk
+
+    def test_single_and_streaming_roundtrip(self, setup):
+        params, code, payload, soft_fsk = setup
+        rng = np.random.RandomState(3)
+        sig = np.asarray(soft_fsk.encode_frame_signal(
+            params, payload, body_code=code))
+        assert len(sig) == soft_fsk.frame_signal_length(
+            params, len(payload), body_code=code)
+        noisy = (sig + 0.3 * rng.standard_normal(len(sig))
+                 ).astype(np.float32)
+        assert soft_fsk.decode_frame_signal(
+            params, noisy, body_code=code) == payload
+        # streaming: random splits decode identically (frames may span
+        # chunk boundaries)
+        chunks, i = [], 0
+        while i < len(noisy):
+            n = int(rng.randint(100, 3000))
+            chunks.append(noisy[i:i + n])
+            i += n
+        assert soft_fsk.decode_frame_chunks(
+            params, chunks, body_code=code) == [payload]
+
+    def test_batch_path(self, setup):
+        params, code, payload, soft_fsk = setup
+        rng = np.random.RandomState(4)
+        B = 8
+        payloads = [bytes(rng.randint(0, 256, size=40, dtype=np.int64)
+                          .astype(np.uint8)) for _ in range(B)]
+        sigs = np.asarray(soft_fsk.encode_frames_batch(
+            params, payloads, body_code=code))
+        noisy = (sigs + 0.3 * rng.standard_normal(sigs.shape)
+                 ).astype(np.float32)
+        assert soft_fsk.decode_frames_batch(
+            params, noisy, 40, body_code=code) == payloads
+
+    def test_burst_recovers_only_with_ldpc(self, setup):
+        """A 50-bit zeroed sample burst inside the body: the conv body
+        (K=7) cannot bridge it, the LDPC body corrects it — the block
+        code's burst-armor role, like the RS concatenated mode."""
+        params, code, _, soft_fsk = setup
+        payload = bytes(np.random.RandomState(2).randint(
+            0, 256, size=40, dtype=np.int64).astype(np.uint8))
+        spb = params.samples_per_bit
+        start = (2 * spb
+                 + (len(params.pattern_bits)
+                    + soft_fsk.HEADER_CODED_BITS) * spb
+                 + 50 * spb)
+        got = {}
+        for name, body_code in (("ldpc", code), ("conv", None)):
+            sig = np.array(soft_fsk.encode_frame_signal(
+                params, payload, body_code=body_code))
+            sig[start:start + 50 * spb] = 0.0
+            noise_rng = np.random.RandomState(7)
+            sig = (sig + 0.05 * noise_rng.standard_normal(len(sig))
+                   ).astype(np.float32)
+            got[name] = soft_fsk.decode_frame_signal(
+                params, sig, body_code=body_code)
+        assert got["ldpc"] == payload
+        assert got["conv"] is None
+
+    def test_reset_preserves_codes(self, setup):
+        params, code, payload, soft_fsk = setup
+        dec = soft_fsk.SoftFrameDecoder(params, body_code=code)
+        dec.reset()
+        assert dec._body_code is code
+        dec2 = soft_fsk.SoftFrameDecoder(params, rs_parity=8)
+        dec2.reset()
+        assert dec2._rs_parity == 8
+
+    def test_rs_and_ldpc_are_exclusive(self, setup):
+        params, code, payload, soft_fsk = setup
+        with pytest.raises(ValueError):
+            soft_fsk.encode_frame_signal(params, payload,
+                                         rs_parity=4, body_code=code)
+        with pytest.raises(ValueError):
+            soft_fsk.decode_frames_batch(
+                params, np.zeros((1, 4096), np.float32), 40,
+                rs_parity=4, body_code=code)

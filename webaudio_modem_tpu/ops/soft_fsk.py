@@ -51,11 +51,20 @@ HEADER_PLAIN = fec.FRAME_HEADER_PLAIN  # LEN(2) + CRC16(LEN)
 HEADER_CODED_BITS = 2 * (8 * HEADER_PLAIN + fec.K - 1)
 
 
-def _body_coded_bits(payload_len: int, rs_parity: int = 0) -> int:
+def _body_coded_bits(payload_len: int, rs_parity: int = 0,
+                     body_code=None) -> int:
+    if body_code is not None:
+        n_cw = -(-8 * (payload_len + 2) // body_code.k)
+        return n_cw * body_code.n
     return 2 * (8 * (payload_len + 2 + rs_parity) + fec.K - 1)
 
 
-def _check_rs(payload_len: int, rs_parity: int) -> None:
+def _check_rs(payload_len: int, rs_parity: int,
+              body_code=None) -> None:
+    if body_code is not None and rs_parity:
+        raise ValueError("rs_parity is the concatenated mode of the "
+                         "convolutional body code; it cannot combine "
+                         "with an alternate body_code")
     if rs_parity == 0:
         return
     if rs_parity % 2 or rs_parity < 2:
@@ -64,6 +73,22 @@ def _check_rs(payload_len: int, rs_parity: int) -> None:
         raise ValueError(
             f"RS codeword {payload_len + 2 + rs_parity} bytes exceeds "
             "255; shorten the payload or the parity")
+
+
+def _ldpc_encode_bodies(body_bits: np.ndarray, body_code) -> np.ndarray:
+    """[B, 8*(pl+2)] body bits -> [B, n_cw * n] wire bits: each body is
+    zero-padded to a whole number of (k-bit) codewords of the shared
+    deterministic LDPC code and encoded in ONE batch.  The memo's
+    'required information' — code/data lengths and block boundaries —
+    reduces to (payload_len, body_code params) known at both ends."""
+    B, bits8 = body_bits.shape
+    k = body_code.k
+    n_cw = -(-bits8 // k)
+    padded = np.zeros((B, n_cw * k), body_bits.dtype)
+    padded[:, :bits8] = body_bits
+    cw = np.asarray(body_code.encode_batch(
+        padded.reshape(B * n_cw, k)))
+    return cw.reshape(B, n_cw * body_code.n).astype(np.int8)
 
 
 def _rs_encode_bodies(body_bytes: np.ndarray,
@@ -79,28 +104,38 @@ def _rs_encode_bodies(body_bytes: np.ndarray,
 
 
 def encode_frame_signal(params: FSKParams, payload: bytes,
-                        rs_parity: int = 0) -> np.ndarray:
+                        rs_parity: int = 0,
+                        body_code=None) -> np.ndarray:
     """payload -> FSK signal carrying a coded frame (float32 [T]).
     ``rs_parity`` > 0 selects the concatenated RS-outer mode (see
-    ``encode_frames_batch``)."""
+    ``encode_frames_batch``); ``body_code`` (an ``ldpc.LDPCCode``)
+    swaps the BODY's inner code from convolutional to LDPC — the
+    header stays conv-coded so boundary detection is identical across
+    body codes."""
     payload = bytes(payload)
-    _check_rs(len(payload), rs_parity)
+    _check_rs(len(payload), rs_parity, body_code)
     body = fec.build_frame_body(payload)
     if rs_parity:
         body = _rs_encode_bodies(
             np.frombuffer(body, np.uint8)[None, :], rs_parity)[0] \
             .tobytes()
+    if body_code is not None:
+        body_coded = _ldpc_encode_bodies(
+            fec.bytes_to_bits(body)[None], body_code)[0]
+    else:
+        body_coded = fec.conv_encode_bits(fec.bytes_to_bits(body))
     coded = np.concatenate([
         fec.conv_encode_bits(fec.bytes_to_bits(
             fec.build_frame_header(len(payload)))),
-        fec.conv_encode_bits(fec.bytes_to_bits(body))])
+        body_coded])
     bits = np.concatenate([np.asarray(params.pattern_bits, np.int8),
                            coded.astype(np.int8)])
     return fsk_mod.modulate_bits(params, bits)
 
 
 def encode_frames_batch(params: FSKParams, payloads,
-                        rs_parity: int = 0) -> "jax.Array":
+                        rs_parity: int = 0,
+                        body_code=None) -> "jax.Array":
     """Equal-length payloads -> FSK signals [B, T], ONE device
     synthesis dispatch.
 
@@ -121,14 +156,18 @@ def encode_frames_batch(params: FSKParams, payloads,
     (ops/rs.py), then the rate-1/2 convolutional inner code as usual.
     The Viterbi inner decoder turns channel bursts into short byte
     errors, which the RS outer code corrects — up to rs_parity/2
-    corrupted body bytes per frame."""
+    corrupted body bytes per frame.
+
+    ``body_code`` (an ``ldpc.LDPCCode``) swaps the body's code to
+    LDPC as in ``encode_frame_signal`` — one batched GF(2)-matmul
+    encode over all B x n_cw codewords."""
     payloads = [bytes(p) for p in payloads]
     if not payloads:
         raise ValueError("encode_frames_batch requires >= 1 payload")
     if len({len(p) for p in payloads}) != 1:
         raise ValueError("encode_frames_batch requires equal-length "
                          "payloads")
-    _check_rs(len(payloads[0]), rs_parity)
+    _check_rs(len(payloads[0]), rs_parity, body_code)
     B = len(payloads)
     # the header depends only on the (shared) length: encode it once
     hdr_coded = fec.conv_encode_bits(fec.bytes_to_bits(
@@ -139,7 +178,11 @@ def encode_frames_batch(params: FSKParams, payloads,
         coded = _rs_encode_bodies(np.packbits(body_bits, axis=1),
                                   rs_parity)
         body_bits = np.unpackbits(coded, axis=1)
-    body_coded = fec.conv_encode_bits_batch(body_bits).astype(np.int8)
+    if body_code is not None:
+        body_coded = _ldpc_encode_bodies(body_bits, body_code)
+    else:
+        body_coded = fec.conv_encode_bits_batch(body_bits) \
+            .astype(np.int8)
     pattern = np.asarray(params.pattern_bits, np.int8)
     bits = np.concatenate([
         np.broadcast_to(pattern, (B, pattern.shape[0])),
@@ -156,9 +199,9 @@ def encode_frames_batch(params: FSKParams, payloads,
 
 
 def frame_signal_length(params: FSKParams, payload_len: int,
-                        rs_parity: int = 0) -> int:
+                        rs_parity: int = 0, body_code=None) -> int:
     n_bits = (len(params.pattern_bits) + HEADER_CODED_BITS
-              + _body_coded_bits(payload_len, rs_parity))
+              + _body_coded_bits(payload_len, rs_parity, body_code))
     return (n_bits * params.samples_per_bit
             + 2 * params.samples_per_bit
             + params.bits_per_byte * params.samples_per_bit)
@@ -177,16 +220,26 @@ def _bit_llrs(params: FSKParams, softs: np.ndarray, start: int,
     return np.float32(params.polarity) * win.sum(axis=1)
 
 
-def _payload_from_body_llr(b_llr, ln: int,
-                           rs_parity: int) -> Optional[bytes]:
+def _payload_from_body_llr(b_llr, ln: int, rs_parity: int,
+                           body_code=None) -> Optional[bytes]:
     """Body LLRs -> CRC-checked payload (or None).  Shared by the
     whole-signal and streaming decoders so the concatenated RS-outer
-    mode behaves identically in both: inner Viterbi, optional batched
-    RS correction (B=1 here), then the CRC16 gate."""
+    and LDPC-body modes behave identically in both: inner Viterbi (or
+    batched LDPC min-sum), optional batched RS correction (B=1 here),
+    then the CRC16 gate."""
     if rs_parity and ln + 2 + rs_parity > 255:
         return None                     # corrupt header length
-    body_bits = fec.viterbi_decode_soft(
-        b_llr, 8 * (ln + 2 + rs_parity))
+    if body_code is not None:
+        # b_llr is bit-1-positive (Viterbi convention); LDPC LLRs are
+        # bit-0-positive -> negate.  Pad bits beyond 8*(ln+2) are
+        # dropped after decode.
+        n_cw = len(b_llr) // body_code.n
+        bits_cw, _ = body_code.decode_batch(
+            -np.asarray(b_llr, np.float32).reshape(n_cw, body_code.n))
+        body_bits = np.asarray(bits_cw).reshape(-1)[:8 * (ln + 2)]
+    else:
+        body_bits = fec.viterbi_decode_soft(
+            b_llr, 8 * (ln + 2 + rs_parity))
     body = fec.bits_to_bytes(body_bits)
     if rs_parity:
         from webaudio_modem_tpu.ops import rs
@@ -202,12 +255,13 @@ def _payload_from_body_llr(b_llr, ln: int,
 
 
 def decode_frame_signal(params: FSKParams, samples,
-                        state=None, rs_parity: int = 0) -> Optional[bytes]:
+                        state=None, rs_parity: int = 0,
+                        body_code=None) -> Optional[bytes]:
     """Full memo receive flow on one signal: sync -> soft FEC decode of
     the header -> soft FEC decode of the body -> CRC-checked payload.
-    Returns None when no valid frame is found.  ``rs_parity`` must
-    match the encoder's (concatenated RS-outer mode)."""
-    _check_rs(0, rs_parity)
+    Returns None when no valid frame is found.  ``rs_parity`` /
+    ``body_code`` must match the encoder's."""
+    _check_rs(0, rs_parity, body_code)
     samples = np.asarray(samples, np.float32)
     out = fsk_demod.soft_stream(params, samples)
     bits = out.bits[:, 0]
@@ -248,10 +302,12 @@ def decode_frame_signal(params: FSKParams, samples,
                 continue
             b_llr = _bit_llrs(params, softs,
                               off + HEADER_CODED_BITS * ds,
-                              _body_coded_bits(ln, rs_parity))
+                              _body_coded_bits(ln, rs_parity,
+                                               body_code))
             if b_llr is None:
                 continue
-            payload = _payload_from_body_llr(b_llr, ln, rs_parity)
+            payload = _payload_from_body_llr(b_llr, ln, rs_parity,
+                                             body_code)
             if payload is not None:
                 return payload
     return None
@@ -286,10 +342,11 @@ class SoftFrameDecoder:
     # extra ds samples kept behind the scan point: W of correlation
     # history + the LLR grid's look-back before a peak (~1.25 ds)
     def __init__(self, params: FSKParams, max_candidates_per_scan: int = 64,
-                 rs_parity: int = 0):
-        _check_rs(0, rs_parity)
+                 rs_parity: int = 0, body_code=None):
+        _check_rs(0, rs_parity, body_code)
         self._params = params
         self._rs_parity = rs_parity
+        self._body_code = body_code
         self._state = None
         self._ds_phase = 0
         self._bits = np.zeros((0,), np.float32)
@@ -303,7 +360,8 @@ class SoftFrameDecoder:
         self.frames_decoded = 0
 
     def reset(self) -> None:
-        self.__init__(self._params, self._max_cand)
+        self.__init__(self._params, self._max_cand,
+                      self._rs_parity, self._body_code)
 
     def feed(self, samples) -> list:
         """Ingest one chunk ([T] float32) and return the list of
@@ -428,7 +486,8 @@ class SoftFrameDecoder:
             crc = (header[2] << 8) | header[3]
             if CRC16.calculate(header[:2]) != crc:
                 continue
-            body_bits = _body_coded_bits(ln, self._rs_parity)
+            body_bits = _body_coded_bits(ln, self._rs_parity,
+                                         self._body_code)
             body_start = off + HEADER_CODED_BITS * ds
             if body_start + body_bits * ds > end_abs:
                 definitive = False  # body still arriving — retry later
@@ -437,7 +496,8 @@ class SoftFrameDecoder:
             if b_llr is None:
                 continue
             payload = _payload_from_body_llr(b_llr, ln,
-                                             self._rs_parity)
+                                             self._rs_parity,
+                                             self._body_code)
             if payload is not None:
                 self.frames_decoded += 1
                 self._scan_from = body_start + body_bits * ds
@@ -467,11 +527,12 @@ class SoftFrameDecoder:
 
 
 def decode_frame_chunks(params: FSKParams, chunks,
-                        rs_parity: int = 0) -> list:
+                        rs_parity: int = 0, body_code=None) -> list:
     """Convenience: run the streaming decoder over an iterable of
     sample chunks and return every decoded payload (the chunked mode of
     ``decode_frame_signal`` — byte-identical output for any split)."""
-    dec = SoftFrameDecoder(params, rs_parity=rs_parity)
+    dec = SoftFrameDecoder(params, rs_parity=rs_parity,
+                           body_code=body_code)
     frames = []
     for chunk in chunks:
         frames += dec.feed(chunk)
@@ -535,15 +596,17 @@ def _batch_header_stage(params: FSKParams, bits, softs, offsets):
             headers.astype(jnp.uint8))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _batch_body_stage(params: FSKParams, csum, b_starts,
-                      payload_len: int, rs_parity: int = 0):
+                      payload_len: int, rs_parity: int = 0,
+                      body_code=None):
     """Device half 2: body LLR windows at each channel's chosen grid +
     ONE batched Viterbi (+ the batched RS outer decode when the frame
-    is concatenated-coded).  Invalid channels decode garbage at a
-    clipped start and are masked on the host."""
+    is concatenated-coded) or ONE batched LDPC min-sum decode over all
+    B x n_cw codewords (``body_code`` mode).  Invalid channels decode
+    garbage at a clipped start and are masked on the host."""
     ds = params.ds_samples_per_bit
-    body_bits = _body_coded_bits(payload_len, rs_parity)
+    body_bits = _body_coded_bits(payload_len, rs_parity, body_code)
     n_body_bytes = payload_len + 2 + rs_parity
     n_rows, B = csum.shape
     pos = (b_starts[:, None]
@@ -552,6 +615,13 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     ch = jnp.arange(B)[:, None]
     b_llr = jnp.float32(params.polarity) * \
         (csum[pos + ds, ch] - csum[pos, ch])
+    if body_code is not None:
+        n_cw = body_bits // body_code.n
+        bits_cw, _ = body_code._decode_impl(
+            -b_llr.reshape(B * n_cw, body_code.n), iters=30)
+        bodies = bits_cw.reshape(
+            B, n_cw * body_code.k)[:, :8 * (payload_len + 2)]
+        return bodies.astype(jnp.uint8)
     bodies = fec._viterbi_core(
         b_llr.reshape(B, body_bits // 2, 2), 8 * n_body_bytes)
     if rs_parity:
@@ -571,7 +641,8 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
 
 
 def decode_frames_batch(params: FSKParams, samples,
-                        payload_len: int, rs_parity: int = 0):
+                        payload_len: int, rs_parity: int = 0,
+                        body_code=None):
     """Farm-scale soft decode: [B, T] signals -> list of payloads
     (None per channel that failed).
 
@@ -595,8 +666,11 @@ def decode_frames_batch(params: FSKParams, samples,
     ``samples`` may be a device-resident jax array (e.g. synthesized
     on device, the DeviceFarmHub pattern) — it is used in place, no
     host round trip.
+
+    ``body_code`` (an ``ldpc.LDPCCode``) must match the encoder's:
+    the body Viterbi is replaced by one batched LDPC min-sum decode.
     """
-    _check_rs(payload_len, rs_parity)
+    _check_rs(payload_len, rs_parity, body_code)
     if isinstance(samples, jax.Array):
         samples = samples.astype(jnp.float32)
     else:
@@ -623,7 +697,7 @@ def decode_frames_batch(params: FSKParams, samples,
     peak_ok = np.asarray(peak_ok_d)
     headers = np.asarray(headers_d)                    # [B, n_off, 32]
 
-    body_bits = _body_coded_bits(payload_len, rs_parity)
+    body_bits = _body_coded_bits(payload_len, rs_parity, body_code)
     valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
         peak_ok[:, None] & \
         (starts + (h_bits + body_bits) * ds <= n_ds)
@@ -647,7 +721,8 @@ def decode_frames_batch(params: FSKParams, samples,
         + h_bits * ds, 0).astype(np.int32)
 
     bodies = np.asarray(_batch_body_stage(
-        params, csum, jnp.asarray(b_starts), payload_len, rs_parity))
+        params, csum, jnp.asarray(b_starts), payload_len, rs_parity,
+        body_code))
     body_bytes = np.packbits(bodies, axis=-1)          # [B, pl+2]
     bcrc = (body_bytes[:, payload_len].astype(np.uint32) << 8) | \
         body_bytes[:, payload_len + 1]
