@@ -144,3 +144,60 @@ def test_input_validation(code):
         code.encode_batch(np.zeros((2, code.K + 1), np.int8))
     with pytest.raises(ValueError):
         code.decode_batch(np.zeros((2, code.n - 1), np.float32))
+
+
+class TestTurboBodyMode:
+    """Turbo as the soft frame path's BODY code (``body_code=``):
+    conv header for boundary detection, turbo codewords for the
+    payload, the frame CRC16 as the gate (turbo has no syndrome)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKParams)
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        code = default_code(K=256)
+        rng = np.random.RandomState(0)
+        payload = bytes(rng.randint(0, 256, size=40,
+                                    dtype=np.int64).astype(np.uint8))
+        return params, code, payload, soft_fsk
+
+    def test_single_and_streaming_roundtrip(self, setup):
+        params, code, payload, soft_fsk = setup
+        rng = np.random.RandomState(5)
+        sig = np.asarray(soft_fsk.encode_frame_signal(
+            params, payload, body_code=code))
+        assert len(sig) == soft_fsk.frame_signal_length(
+            params, len(payload), body_code=code)
+        noisy = (sig + 0.3 * rng.standard_normal(len(sig))
+                 ).astype(np.float32)
+        assert soft_fsk.decode_frame_signal(
+            params, noisy, body_code=code) == payload
+        chunks, i = [], 0
+        while i < len(noisy):
+            n = int(rng.randint(100, 3000))
+            chunks.append(noisy[i:i + n])
+            i += n
+        assert soft_fsk.decode_frame_chunks(
+            params, chunks, body_code=code) == [payload]
+
+    def test_batch_path(self, setup):
+        params, code, payload, soft_fsk = setup
+        rng = np.random.RandomState(6)
+        B = 8
+        payloads = [bytes(rng.randint(0, 256, size=40, dtype=np.int64)
+                          .astype(np.uint8)) for _ in range(B)]
+        sigs = np.asarray(soft_fsk.encode_frames_batch(
+            params, payloads, body_code=code))
+        noisy = (sigs + 0.3 * rng.standard_normal(sigs.shape)
+                 ).astype(np.float32)
+        assert soft_fsk.decode_frames_batch(
+            params, noisy, 40, body_code=code) == payloads
+
+    def test_rs_exclusive(self, setup):
+        params, code, payload, soft_fsk = setup
+        with pytest.raises(ValueError):
+            soft_fsk.encode_frame_signal(params, payload,
+                                         rs_parity=4, body_code=code)

@@ -109,6 +109,8 @@ class LDPCCode:
     same parameters — the memo's 'required information' is just
     (n, wc, wr, seed)."""
 
+    DEFAULT_ITERS = 30
+
     def __init__(self, n: int = 648, wc: int = 3, wr: int = 6,
                  seeds: int = 8):
         best = None

@@ -75,12 +75,13 @@ def _check_rs(payload_len: int, rs_parity: int,
             "255; shorten the payload or the parity")
 
 
-def _ldpc_encode_bodies(body_bits: np.ndarray, body_code) -> np.ndarray:
+def _block_encode_bodies(body_bits: np.ndarray, body_code) -> np.ndarray:
     """[B, 8*(pl+2)] body bits -> [B, n_cw * n] wire bits: each body is
     zero-padded to a whole number of (k-bit) codewords of the shared
-    deterministic LDPC code and encoded in ONE batch.  The memo's
-    'required information' — code/data lengths and block boundaries —
-    reduces to (payload_len, body_code params) known at both ends."""
+    deterministic block code (LDPCCode or TurboCode) and encoded in
+    ONE batch.  The memo's 'required information' — code/data lengths
+    and block boundaries — reduces to (payload_len, body_code params)
+    known at both ends."""
     B, bits8 = body_bits.shape
     k = body_code.k
     n_cw = -(-bits8 // k)
@@ -89,6 +90,14 @@ def _ldpc_encode_bodies(body_bits: np.ndarray, body_code) -> np.ndarray:
     cw = np.asarray(body_code.encode_batch(
         padded.reshape(B * n_cw, k)))
     return cw.reshape(B, n_cw * body_code.n).astype(np.int8)
+
+
+def _block_decode_bits(body_code, llrs):
+    """Uniform decode over the two block families: LDPC's decoder
+    returns (bits, ok), turbo's returns bits (no intrinsic syndrome —
+    the frame CRC16 is its gate, per the FEC doc's layering)."""
+    out = body_code.decode_batch(llrs, iters=body_code.DEFAULT_ITERS)
+    return out[0] if isinstance(out, tuple) else out
 
 
 def _rs_encode_bodies(body_bytes: np.ndarray,
@@ -108,10 +117,10 @@ def encode_frame_signal(params: FSKParams, payload: bytes,
                         body_code=None) -> np.ndarray:
     """payload -> FSK signal carrying a coded frame (float32 [T]).
     ``rs_parity`` > 0 selects the concatenated RS-outer mode (see
-    ``encode_frames_batch``); ``body_code`` (an ``ldpc.LDPCCode``)
-    swaps the BODY's inner code from convolutional to LDPC — the
-    header stays conv-coded so boundary detection is identical across
-    body codes."""
+    ``encode_frames_batch``); ``body_code`` (an ``ldpc.LDPCCode`` or
+    ``turbo.TurboCode``) swaps the BODY's code from convolutional to
+    concatenated block codewords — the header stays conv-coded so
+    boundary detection is identical across body codes."""
     payload = bytes(payload)
     _check_rs(len(payload), rs_parity, body_code)
     body = fec.build_frame_body(payload)
@@ -120,7 +129,7 @@ def encode_frame_signal(params: FSKParams, payload: bytes,
             np.frombuffer(body, np.uint8)[None, :], rs_parity)[0] \
             .tobytes()
     if body_code is not None:
-        body_coded = _ldpc_encode_bodies(
+        body_coded = _block_encode_bodies(
             fec.bytes_to_bits(body)[None], body_code)[0]
     else:
         body_coded = fec.conv_encode_bits(fec.bytes_to_bits(body))
@@ -158,9 +167,10 @@ def encode_frames_batch(params: FSKParams, payloads,
     errors, which the RS outer code corrects — up to rs_parity/2
     corrupted body bytes per frame.
 
-    ``body_code`` (an ``ldpc.LDPCCode``) swaps the body's code to
-    LDPC as in ``encode_frame_signal`` — one batched GF(2)-matmul
-    encode over all B x n_cw codewords."""
+    ``body_code`` (an ``ldpc.LDPCCode`` or ``turbo.TurboCode``)
+    swaps the body's code to block codewords as in
+    ``encode_frame_signal`` — one batched encode over all B x n_cw
+    codewords."""
     payloads = [bytes(p) for p in payloads]
     if not payloads:
         raise ValueError("encode_frames_batch requires >= 1 payload")
@@ -179,7 +189,7 @@ def encode_frames_batch(params: FSKParams, payloads,
                                   rs_parity)
         body_bits = np.unpackbits(coded, axis=1)
     if body_code is not None:
-        body_coded = _ldpc_encode_bodies(body_bits, body_code)
+        body_coded = _block_encode_bodies(body_bits, body_code)
     else:
         body_coded = fec.conv_encode_bits_batch(body_bits) \
             .astype(np.int8)
@@ -230,11 +240,12 @@ def _payload_from_body_llr(b_llr, ln: int, rs_parity: int,
     if rs_parity and ln + 2 + rs_parity > 255:
         return None                     # corrupt header length
     if body_code is not None:
-        # b_llr is bit-1-positive (Viterbi convention); LDPC LLRs are
-        # bit-0-positive -> negate.  Pad bits beyond 8*(ln+2) are
-        # dropped after decode.
+        # b_llr is bit-1-positive (Viterbi convention); block-code
+        # LLRs are bit-0-positive -> negate.  Pad bits beyond
+        # 8*(ln+2) are dropped after decode.
         n_cw = len(b_llr) // body_code.n
-        bits_cw, _ = body_code.decode_batch(
+        bits_cw = _block_decode_bits(
+            body_code,
             -np.asarray(b_llr, np.float32).reshape(n_cw, body_code.n))
         body_bits = np.asarray(bits_cw).reshape(-1)[:8 * (ln + 2)]
     else:
@@ -602,7 +613,8 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
                       body_code=None):
     """Device half 2: body LLR windows at each channel's chosen grid +
     ONE batched Viterbi (+ the batched RS outer decode when the frame
-    is concatenated-coded) or ONE batched LDPC min-sum decode over all
+    is concatenated-coded) or ONE batched block decode (LDPC min-sum /
+    turbo max-log-MAP) over all
     B x n_cw codewords (``body_code`` mode).  Invalid channels decode
     garbage at a clipped start and are masked on the host."""
     ds = params.ds_samples_per_bit
@@ -617,8 +629,8 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
         (csum[pos + ds, ch] - csum[pos, ch])
     if body_code is not None:
         n_cw = body_bits // body_code.n
-        bits_cw, _ = body_code._decode_impl(
-            -b_llr.reshape(B * n_cw, body_code.n), iters=30)
+        bits_cw = _block_decode_bits(
+            body_code, -b_llr.reshape(B * n_cw, body_code.n))
         bodies = bits_cw.reshape(
             B, n_cw * body_code.k)[:, :8 * (payload_len + 2)]
         return bodies.astype(jnp.uint8)
@@ -667,8 +679,9 @@ def decode_frames_batch(params: FSKParams, samples,
     on device, the DeviceFarmHub pattern) — it is used in place, no
     host round trip.
 
-    ``body_code`` (an ``ldpc.LDPCCode``) must match the encoder's:
-    the body Viterbi is replaced by one batched LDPC min-sum decode.
+    ``body_code`` (an ``ldpc.LDPCCode`` or ``turbo.TurboCode``)
+    must match the encoder's: the body Viterbi is replaced by one
+    batched block decode (min-sum / max-log-MAP) on device.
     """
     _check_rs(payload_len, rs_parity, body_code)
     if isinstance(samples, jax.Array):

@@ -127,8 +127,11 @@ class TurboCode:
         [ sys(K) | par1(K) | sys_tail(TAIL) | par1_tail(TAIL) | par2(K) ]
     """
 
+    DEFAULT_ITERS = 8
+
     def __init__(self, K: int = 256, seed: int = 0):
         self.K = K
+        self.k = K               # generic block-code alias (cf. LDPCCode.k)
         self.seed = seed
         self.perm = interleaver(K, seed)
         self.inv_perm = np.argsort(self.perm)
