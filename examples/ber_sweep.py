@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--rs", type=int, default=0, metavar="PARITY",
                     help="with --soft: add a concatenated RS-outer "
                          "column (rs_parity bytes, docs/FEC.md)")
+    ap.add_argument("--body", choices=["ldpc", "turbo"],
+                    help="with --soft: add a column where the frame "
+                         "body uses this block code (docs/FEC.md)")
     args = ap.parse_args()
 
     if args.soft:
@@ -89,16 +92,29 @@ def soft_sweep(args):
     rs_sig = (soft_fsk.encode_frame_signal(params, payload,
                                            rs_parity=args.rs)
               if args.rs else None)
+    body_code = None
+    if args.body == "ldpc":
+        from webaudio_modem_tpu.ops.ldpc import default_code
+        body_code = default_code(n=648, wc=3, wr=6)
+    elif args.body == "turbo":
+        from webaudio_modem_tpu.ops.turbo import default_code
+        body_code = default_code(K=256)
+    body_sig = (soft_fsk.encode_frame_signal(params, payload,
+                                             body_code=body_code)
+                if body_code else None)
     hdr = f"{'SNR dB':>8} {'soft+FEC FSR':>14} {'hard UART FSR':>14}"
     if args.rs:
         hdr += f" {'+RS(%d) FSR' % args.rs:>14}"
+    if body_code:
+        hdr += f" {'%s-body FSR' % args.body:>14}"
     print(hdr)
     for snr in args.snrs:
         rng = np.random.RandomState(1000 + int(snr * 10))
-        # the RS column draws from its OWN stream so the soft/hard
-        # columns print identical values with and without --rs
+        # the RS / body columns draw from their OWN streams so the
+        # soft/hard columns print identical values with or without them
         rng_rs = np.random.RandomState(5000 + int(snr * 10))
-        s_ok = h_ok = r_ok = 0
+        rng_body = np.random.RandomState(9000 + int(snr * 10))
+        s_ok = h_ok = r_ok = b_ok = 0
         for _ in range(args.messages):
             s_ok += soft_fsk.decode_frame_signal(
                 params, add_noise(soft_sig, snr, rng)) == payload
@@ -109,10 +125,16 @@ def soft_sweep(args):
                 r_ok += soft_fsk.decode_frame_signal(
                     params, add_noise(rs_sig, snr, rng_rs),
                     rs_parity=args.rs) == payload
+            if body_code:
+                b_ok += soft_fsk.decode_frame_signal(
+                    params, add_noise(body_sig, snr, rng_body),
+                    body_code=body_code) == payload
         row = (f"{snr:>8.1f} {s_ok / args.messages:>14.2f} "
                f"{h_ok / args.messages:>14.2f}")
         if args.rs:
             row += f" {r_ok / args.messages:>14.2f}"
+        if body_code:
+            row += f" {b_ok / args.messages:>14.2f}"
         print(row)
 
 
