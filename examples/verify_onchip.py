@@ -15,6 +15,8 @@ checks that previously lived only in commit messages and doc prose:
      device-resident hub, every payload exact
   6. soft farm decode     — 1024 noisy FEC frames decoded exactly from
      one device-resident [B, T] array (two batched Viterbi calls)
+  7. LDPC-body farm       — 512 frames with the pluggable LDPC body
+     code decoded exactly (batched min-sum replaces the body Viterbi)
 
 Prints ONE JSON summary line (pass/fail per check + timings) and exits
 non-zero on any failure.  Bounded: sized to finish in a few minutes
@@ -197,6 +199,38 @@ def check_soft_farm(B=1024, payload=9, snr_db=6.0):
     return True, f"{B}/{B} FEC frames exact at {snr_db:g} dB (device)"
 
 
+def check_ldpc_body_farm(B=512, payload=9, snr_db=8.0):
+    """The pluggable LDPC body mode on the batched device path: body
+    Viterbi replaced by one batched min-sum over B x n_cw codewords in
+    HBM (soft_fsk._batch_body_stage body_code branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                  FSKParams)
+    from webaudio_modem_tpu.ops import soft_fsk
+    from webaudio_modem_tpu.ops.ldpc import default_code
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    code = default_code(n=648, wc=3, wr=6)
+    payloads = [bytes((i * 11 + k) & 0xFF for k in range(payload))
+                for i in range(B)]
+    sigs = soft_fsk.encode_frames_batch(params, payloads,
+                                        body_code=code)
+    power = float(jnp.mean(sigs[0].astype(jnp.float32) ** 2))
+    amp = np.sqrt(power / (10 ** (snr_db / 10)))
+    noise = jax.random.normal(jax.random.PRNGKey(5), sigs.shape,
+                              jnp.float32)
+    noisy = (sigs + jnp.float32(amp) * noise).astype(jnp.float32)
+    out = soft_fsk.decode_frames_batch(params, noisy, payload,
+                                       body_code=code)
+    bad = sum(1 for o, p in zip(out, payloads) if o != p)
+    if bad:
+        return False, (f"{bad}/{B} LDPC-body channels failed at "
+                       f"{snr_db:g} dB")
+    return True, f"{B}/{B} LDPC-body frames exact at {snr_db:g} dB"
+
+
 CHECKS = [
     ("golden_differential", check_golden_differential),
     ("pallas_vs_lax", check_pallas_vs_lax),
@@ -204,6 +238,7 @@ CHECKS = [
     ("psk_farm", check_psk_farm),
     ("mini_arq", check_mini_arq),
     ("soft_farm", check_soft_farm),
+    ("ldpc_body_farm", check_ldpc_body_farm),
 ]
 
 
@@ -212,6 +247,11 @@ def main() -> int:
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of check names to run")
     args = ap.parse_args()
+
+    # honor JAX_PLATFORMS=cpu even though the axon sitecustomize
+    # imported jax before us (env alone is ignored at that point)
+    from webaudio_modem_tpu.utils.platform import ensure_env_platform
+    ensure_env_platform()
 
     import jax
     # Persistent compile cache ONLY for the (remote-compiled) TPU
