@@ -43,6 +43,8 @@ def main():
                     help="with --soft: add a column where the frame "
                          "body uses this block code (docs/FEC.md)")
     args = ap.parse_args()
+    if (args.rs or args.body) and not args.soft:
+        ap.error("--rs/--body are columns of the --soft sweep")
 
     if args.soft:
         return soft_sweep(args)

@@ -168,13 +168,11 @@ def check_mini_arq(batch=64, payload=11):
                   f"({steps} quanta, {retx} retransmits)")
 
 
-def check_soft_farm(B=1024, payload=9, snr_db=6.0):
-    """Device-resident batched soft path, TX -> channel -> RX all in
-    HBM: B FEC frames synthesized in one dispatch
-    (soft_fsk.encode_frames_batch), AWGN added on device, every
-    payload decoded exactly by the two-Viterbi batch decode
-    (soft_fsk.decode_frames_batch).  No [B, T] array ever crosses the
-    host boundary."""
+def _soft_farm_run(B, payload, snr_db, key, body_code=None, stride=7):
+    """Shared body of the two soft-farm checks: B frames synthesized
+    in one dispatch (soft_fsk.encode_frames_batch), AWGN added on
+    device, batch-decoded (soft_fsk.decode_frames_batch) — no [B, T]
+    array ever crosses the host boundary.  Returns the bad count."""
     import jax
     import jax.numpy as jnp
 
@@ -183,16 +181,25 @@ def check_soft_farm(B=1024, payload=9, snr_db=6.0):
     from webaudio_modem_tpu.ops import soft_fsk
 
     params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
-    payloads = [bytes((i * 7 + k) & 0xFF for k in range(payload))
+    payloads = [bytes((i * stride + k) & 0xFF for k in range(payload))
                 for i in range(B)]
-    sigs = soft_fsk.encode_frames_batch(params, payloads)  # [B, T] dev
+    sigs = soft_fsk.encode_frames_batch(params, payloads,
+                                        body_code=body_code)
     power = float(jnp.mean(sigs[0].astype(jnp.float32) ** 2))
     amp = np.sqrt(power / (10 ** (snr_db / 10)))
-    noise = jax.random.normal(jax.random.PRNGKey(3), sigs.shape,
+    noise = jax.random.normal(jax.random.PRNGKey(key), sigs.shape,
                               jnp.float32)
     noisy = (sigs + jnp.float32(amp) * noise).astype(jnp.float32)
-    out = soft_fsk.decode_frames_batch(params, noisy, payload)
-    bad = sum(1 for o, p in zip(out, payloads) if o != p)
+    out = soft_fsk.decode_frames_batch(params, noisy, payload,
+                                       body_code=body_code)
+    return sum(1 for o, p in zip(out, payloads) if o != p)
+
+
+def check_soft_farm(B=1024, payload=9, snr_db=6.0):
+    """Device-resident batched soft path, TX -> channel -> RX all in
+    HBM, every payload decoded exactly by the two-Viterbi batch
+    decode."""
+    bad = _soft_farm_run(B, payload, snr_db, key=3)
     if bad:
         return False, (f"{bad}/{B} soft channels failed at "
                        f"{snr_db:g} dB")
@@ -203,28 +210,11 @@ def check_ldpc_body_farm(B=512, payload=9, snr_db=8.0):
     """The pluggable LDPC body mode on the batched device path: body
     Viterbi replaced by one batched min-sum over B x n_cw codewords in
     HBM (soft_fsk._batch_body_stage body_code branch)."""
-    import jax
-    import jax.numpy as jnp
-
-    from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
-                                                  FSKParams)
-    from webaudio_modem_tpu.ops import soft_fsk
     from webaudio_modem_tpu.ops.ldpc import default_code
 
-    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
     code = default_code(n=648, wc=3, wr=6)
-    payloads = [bytes((i * 11 + k) & 0xFF for k in range(payload))
-                for i in range(B)]
-    sigs = soft_fsk.encode_frames_batch(params, payloads,
-                                        body_code=code)
-    power = float(jnp.mean(sigs[0].astype(jnp.float32) ** 2))
-    amp = np.sqrt(power / (10 ** (snr_db / 10)))
-    noise = jax.random.normal(jax.random.PRNGKey(5), sigs.shape,
-                              jnp.float32)
-    noisy = (sigs + jnp.float32(amp) * noise).astype(jnp.float32)
-    out = soft_fsk.decode_frames_batch(params, noisy, payload,
-                                       body_code=code)
-    bad = sum(1 for o, p in zip(out, payloads) if o != p)
+    bad = _soft_farm_run(B, payload, snr_db, key=5, body_code=code,
+                         stride=11)
     if bad:
         return False, (f"{bad}/{B} LDPC-body channels failed at "
                        f"{snr_db:g} dB")
@@ -258,9 +248,11 @@ def main() -> int:
     # backend: CPU runs sharing the dir load AOT entries compiled with
     # mismatched machine features (cpu_aot_loader warns of SIGILL), and
     # XLA:CPU cache (de)serialization itself has crashed under load
-    # (CLAUDE.md "Suite stability").
-    import os as _os
-    if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    # (CLAUDE.md "Suite stability").  Guard on the RESOLVED backend:
+    # an unset env on a CPU-only machine still selects cpu.  (On the
+    # axon machine this initializes the tunnel backend — which the
+    # on-chip checks need anyway.)
+    if jax.default_backend() != "cpu":
         try:
             jax.config.update("jax_compilation_cache_dir",
                               "/tmp/wam_jax_cache")

@@ -113,6 +113,7 @@ class LDPCCode:
 
     def __init__(self, n: int = 648, wc: int = 3, wr: int = 6,
                  seeds: int = 8):
+        self._key = (n, wc, wr, seeds)
         best = None
         for seed in range(seeds):
             H = _gallager_h(n, wc, wr, seed)
@@ -208,15 +209,27 @@ class LDPCCode:
         ok = jnp.all(syndrome == 0, axis=-1)
         return hard[:, self._data_cols], ok
 
-    def decode_batch(self, llrs, iters: int = 30):
+    def decode_batch(self, llrs, iters=None):
         """Channel LLRs [B, n] (positive = bit 0) -> (data bits
         [B, k], ok [B]).  ``ok`` is the full syndrome check of the
-        hard decision — when false the decode did not converge."""
+        hard decision — when false the decode did not converge.
+        ``iters`` defaults to ``DEFAULT_ITERS``."""
         llrs = jnp.asarray(llrs)
         if llrs.ndim != 2 or llrs.shape[1] != self.n:
             raise ValueError(f"llrs must be [B, {self.n}], "
                              f"got {llrs.shape}")
-        return self._decode(llrs, iters=iters)
+        return self._decode(
+            llrs, iters=self.DEFAULT_ITERS if iters is None else iters)
+
+    # value semantics: equal construction params build the identical
+    # code (deterministic seed search), and the soft frame path passes
+    # instances as jit STATIC args — identity hashing would recompile
+    # per instance (minutes through a remote-compile tunnel).
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return (type(other) is LDPCCode and other._key == self._key)
 
 
 @functools.lru_cache(maxsize=4)

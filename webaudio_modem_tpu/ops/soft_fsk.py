@@ -210,6 +210,7 @@ def encode_frames_batch(params: FSKParams, payloads,
 
 def frame_signal_length(params: FSKParams, payload_len: int,
                         rs_parity: int = 0, body_code=None) -> int:
+    _check_rs(payload_len, rs_parity, body_code)
     n_bits = (len(params.pattern_bits) + HEADER_CODED_BITS
               + _body_coded_bits(payload_len, rs_parity, body_code))
     return (n_bits * params.samples_per_bit

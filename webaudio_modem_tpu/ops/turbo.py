@@ -265,14 +265,26 @@ class TurboCode:
         llr1 = self._max_log_map(in1, par1, a0, b_term)
         return (llr1[:, :K] < 0).astype(jnp.int32)
 
-    def decode_batch(self, llrs, iters: int = 8):
+    def decode_batch(self, llrs, iters=None):
         """Channel LLRs [B, n] (positive = bit 0, wire layout as
-        ``encode_batch``) -> decoded data bits [B, K]."""
+        ``encode_batch``) -> decoded data bits [B, K].  ``iters``
+        defaults to ``DEFAULT_ITERS``."""
         llrs = jnp.asarray(llrs, jnp.float32)
         if llrs.ndim != 2 or llrs.shape[1] != self.n:
             raise ValueError(f"llrs must be [B, {self.n}], "
                              f"got {llrs.shape}")
-        return self._decode(llrs, iters=iters)
+        return self._decode(
+            llrs, iters=self.DEFAULT_ITERS if iters is None else iters)
+
+    # value semantics (cf. LDPCCode): equal (K, seed) builds the
+    # identical code, and the soft frame path uses instances as jit
+    # static args — identity hashing would recompile per instance.
+    def __hash__(self):
+        return hash((self.K, self.seed))
+
+    def __eq__(self, other):
+        return (type(other) is TurboCode
+                and (other.K, other.seed) == (self.K, self.seed))
 
 
 @functools.lru_cache(maxsize=4)
