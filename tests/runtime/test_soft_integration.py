@@ -63,6 +63,15 @@ class TestXModemOverSoftModem:
         assert await _transfer(graph, sender, receiver, data) == data
         assert sender.get_statistics().packets_sent >= 4  # 3 data + EOT
 
+    async def test_transfer_with_ldpc_body(self):
+        # the pluggable body code rides the whole stack too
+        from webaudio_modem_tpu.ops.ldpc import default_code
+
+        code = default_code(n=120, wc=3, wr=6)
+        graph, sender, receiver = _make_stack(body_code=code)
+        data = b"ldpc-coded ARQ"
+        assert await _transfer(graph, sender, receiver, data) == data
+
     async def test_transfer_over_noisy_channel(self):
         # 10x the noise power of the hard-modem integration test
         # (test_integration.py uses 5e-4): ~10 dB SNR, comfortably
