@@ -40,7 +40,13 @@ async def main() -> int:
     ap.add_argument("--fec", action="store_true",
                     help="wrap the payload in a convolutional FEC frame "
                          "(rate-1/2 K=7 + Viterbi, docs/FEC.md)")
+    ap.add_argument("--soft", action="store_true",
+                    help="replace the hard UART modem with the soft "
+                         "FEC physical layer (SoftModemCore: coded "
+                         "frames, no start/stop bits, docs/FEC.md)")
     args = ap.parse_args()
+    if args.soft and args.fec:
+        ap.error("--soft already codes every frame; drop --fec")
 
     payload = (open(args.file, "rb").read() if args.file
                else args.message.encode())
@@ -55,8 +61,15 @@ async def main() -> int:
     config = FSKConfig(baud_rate=args.baud)
 
     # system bring-up (demo.js initializeSystem, :210-266)
-    sender_proc = FSKProcessor(name="sender")
-    receiver_proc = FSKProcessor(name="receiver")
+    if args.soft:
+        from webaudio_modem_tpu.models import SoftModemCore
+
+        sender_proc = FSKProcessor(name="sender", core=SoftModemCore())
+        receiver_proc = FSKProcessor(name="receiver",
+                                     core=SoftModemCore())
+    else:
+        sender_proc = FSKProcessor(name="sender")
+        receiver_proc = FSKProcessor(name="receiver")
     sender_proc.configure(config)
     receiver_proc.configure(config)
     channel_fn = make_awgn_channel(args.noise) if args.noise else None

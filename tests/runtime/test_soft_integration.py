@@ -105,6 +105,27 @@ def test_core_surface_parity():
     assert core.get_status()["frames_decoded"] == 0
 
 
+def test_signal_quality_surface():
+    """The soft path serves the same computed SignalQuality surface:
+    the decoder captures the last decoded frame's sync-window stats
+    (peak-anchored like the calibration) and the shared calibrated
+    computation runs on them."""
+    def run(sigma):
+        core = SoftModemCore(DEFAULT_FSK_CONFIG)
+        sig = np.asarray(core.modulate_data(b"quality!"))
+        rng = np.random.RandomState(0)
+        noisy = (sig + sigma * rng.standard_normal(len(sig))
+                 ).astype(np.float32)
+        assert core.demodulate_data(noisy) == b"quality!"
+        return core.get_signal_quality()
+
+    assert SoftModemCore(DEFAULT_FSK_CONFIG).get_signal_quality().ber == 0.0
+    clean, noisy = run(0.0), run(0.3)
+    assert clean.ber == 0.0                  # peak-anchored: no bias
+    assert noisy.ber > 0.01                  # real re-sliced bit errors
+    assert 0.0 <= noisy.eye_opening < clean.eye_opening + 1e-6
+
+
 def test_unconfigured_raises():
     core = SoftModemCore()
     assert not core.is_ready()

@@ -113,6 +113,44 @@ class SoftModemCore(EventEmitter):
         self._demodulation_calls = 0
         self._total_samples = 0
 
+    def get_signal_quality(self):
+        """Same five computed fields as FSKCore.get_signal_quality.
+        The soft stage never runs the chunk step's
+        quality_window_update (sync lives in the decoder, not the
+        kernel), so the decoder captures the last decoded frame's
+        sync-window statistics itself and they are injected into the
+        carried DemodState before the shared calibrated computation
+        (reference stubs the surface entirely, src/core.ts:10-16)."""
+        import jax.numpy as jnp
+
+        from webaudio_modem_tpu.core import SignalQuality
+        from webaudio_modem_tpu.ops import fsk_demod
+
+        state = self._decoder._state if self._decoder is not None else None
+        if state is None:
+            return SignalQuality()
+        q = self._decoder.last_sync_quality
+        if q is not None:
+            ratio, s, ss, n = q
+            one = lambda v: jnp.full((1,), v, jnp.float32)  # noqa: E731
+            state = state._replace(last_sync_ratio=one(ratio),
+                                   q_win_sum=one(s),
+                                   q_win_sumsq=one(ss),
+                                   q_win_cnt=one(n))
+        ber, freq, jitter, eye = fsk_demod.quality_from_state(
+            self.params, state)
+        snr = 0.0
+        amps = np.asarray(state.amp_tail[:, 0])
+        active = amps[amps > float(state.threshold[0])]
+        if len(active) >= 8:
+            mean = float(active.mean())
+            std = float(active.std())
+            snr = float(10 * np.log10((mean ** 2) / (std ** 2 + 1e-12)))
+        return SignalQuality(snr=snr, ber=float(ber[0]),
+                             eye_opening=float(eye[0]),
+                             phase_jitter=float(jitter[0]),
+                             frequency_offset=float(freq[0]))
+
     def get_status(self) -> dict:
         return {
             "ready": self._ready,

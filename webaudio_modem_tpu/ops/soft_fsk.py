@@ -370,6 +370,12 @@ class SoftFrameDecoder:
         self._failed: set = set()  # dead candidate peaks (absolute)
         self._max_cand = max_candidates_per_scan
         self.frames_decoded = 0
+        # (peak_ratio, soft_sum, soft_sumsq, count) over the sync
+        # window of the last DECODED frame — the soft path never runs
+        # the chunk step's quality_window_update, so the decoder
+        # captures the same statistics itself (see
+        # SoftModemCore.get_signal_quality)
+        self.last_sync_quality = None
 
     def reset(self) -> None:
         self.__init__(self._params, self._max_cand,
@@ -512,6 +518,26 @@ class SoftFrameDecoder:
                                              self._body_code)
             if payload is not None:
                 self.frames_decoded += 1
+                # sync-window statistics for get_signal_quality.
+                # Candidates are tried in TEMPORAL order, so t_peak is
+                # the first threshold CROSSING, not the ratio maximum —
+                # re-anchor at the local argmax (±ds) to match the
+                # calibration's peak anchoring (quality_window_update /
+                # _quality_calibration in fsk_demod.py), then take the
+                # W ds-samples ending there (the KNOWN preamble+SFD).
+                W = params.sync_window
+                r0 = self._ratio_first
+                lo_r = max(t_peak - ds, r0)
+                hi_r = min(t_peak + ds + 1, r0 + len(self._ratio))
+                seg = self._ratio[lo_r - r0:hi_r - r0]
+                q_peak = lo_r + int(np.argmax(seg))
+                lo = max(q_peak + 1 - W, self._abs0)
+                win = self._softs[lo - self._abs0:
+                                  q_peak + 1 - self._abs0]
+                self.last_sync_quality = (
+                    float(self._ratio[q_peak - r0]),
+                    float(win.sum()), float((win ** 2).sum()),
+                    float(len(win)))
                 self._scan_from = body_start + body_bits * ds
                 self._failed = {t for t in self._failed
                                 if t >= self._scan_from}
