@@ -3,44 +3,10 @@ simulated graph — the analog of the reference's browser integration
 suite (fsk-processor-integration-browser.test.ts:123-269) and of
 BASELINE config 3 (XModem over lossy simulated audio)."""
 
-import asyncio
-
-import pytest
-
-from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
-from webaudio_modem_tpu.runtime import AudioGraph, FSKProcessor
 from webaudio_modem_tpu.sim import make_awgn_channel
-from webaudio_modem_tpu.transports.xmodem import XModemTransport
 
-
-def _make_stack(channel_fn=None):
-    sender_proc = FSKProcessor(name="sender")
-    receiver_proc = FSKProcessor(name="receiver")
-    sender_proc.configure(DEFAULT_FSK_CONFIG)
-    receiver_proc.configure(DEFAULT_FSK_CONFIG)
-    graph = AudioGraph(quantum=512, channel_fn=channel_fn)
-    graph.connect(sender_proc)
-    graph.connect(receiver_proc)
-    sender = XModemTransport(sender_proc)
-    receiver = XModemTransport(receiver_proc)
-    # generous timeouts: the graph runs as-fast-as-possible but CI can
-    # be slow; audio time != wall time here
-    sender.configure({"timeout_ms": 20000, "max_retries": 3})
-    receiver.configure({"timeout_ms": 20000, "max_retries": 3})
-    return graph, sender, receiver
-
-
-async def _transfer(graph, sender, receiver, data, timeout=300):
-    drive = asyncio.ensure_future(graph.run())
-    try:
-        send_task = asyncio.ensure_future(sender.send_data(data))
-        received = await asyncio.wait_for(receiver.receive_data(),
-                                          timeout=timeout)
-        await asyncio.wait_for(send_task, timeout=30)
-        return received
-    finally:
-        graph.stop()
-        await drive
+from tests.runtime.conftest import arq_transfer as _transfer
+from tests.runtime.conftest import make_arq_stack as _make_stack
 
 
 class TestXModemOverAudio:
@@ -119,5 +85,7 @@ class TestXModemOverAudio:
 
 if __name__ == "__main__":  # pragma: no cover
     import sys
+
+    import pytest
 
     pytest.main([__file__, "-v"] + sys.argv[1:])

@@ -7,46 +7,21 @@ unchanged.  The analog of test_integration.py with the hard UART modem
 swapped for coded frames (reference contract src/core.ts:88-117: the
 transport only ever sees the IDataChannel verbs)."""
 
-import asyncio
-
 import numpy as np
 import pytest
 
 from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
 from webaudio_modem_tpu.models.soft_modem import SoftModemCore
-from webaudio_modem_tpu.runtime import AudioGraph, FSKProcessor
 from webaudio_modem_tpu.sim import make_awgn_channel
-from webaudio_modem_tpu.transports.xmodem import XModemTransport
+
+from tests.runtime.conftest import arq_transfer as _transfer
+from tests.runtime.conftest import make_arq_stack
 
 
 def _make_stack(channel_fn=None, **core_kwargs):
-    sender_proc = FSKProcessor(
-        name="sender", core=SoftModemCore(DEFAULT_FSK_CONFIG,
-                                          **core_kwargs))
-    receiver_proc = FSKProcessor(
-        name="receiver", core=SoftModemCore(DEFAULT_FSK_CONFIG,
-                                            **core_kwargs))
-    graph = AudioGraph(quantum=512, channel_fn=channel_fn)
-    graph.connect(sender_proc)
-    graph.connect(receiver_proc)
-    sender = XModemTransport(sender_proc)
-    receiver = XModemTransport(receiver_proc)
-    sender.configure({"timeout_ms": 60000, "max_retries": 3})
-    receiver.configure({"timeout_ms": 60000, "max_retries": 3})
-    return graph, sender, receiver
-
-
-async def _transfer(graph, sender, receiver, data, timeout=300):
-    drive = asyncio.ensure_future(graph.run())
-    try:
-        send_task = asyncio.ensure_future(sender.send_data(data))
-        received = await asyncio.wait_for(receiver.receive_data(),
-                                          timeout=timeout)
-        await asyncio.wait_for(send_task, timeout=30)
-        return received
-    finally:
-        graph.stop()
-        await drive
+    return make_arq_stack(
+        channel_fn=channel_fn, timeout_ms=60000,
+        core_factory=lambda: SoftModemCore(**core_kwargs))
 
 
 class TestXModemOverSoftModem:
@@ -124,6 +99,11 @@ def test_signal_quality_surface():
     assert clean.ber == 0.0                  # peak-anchored: no bias
     assert noisy.ber > 0.01                  # real re-sliced bit errors
     assert 0.0 <= noisy.eye_opening < clean.eye_opening + 1e-6
+    # SNR comes from the captured window's I/Q amplitudes (the soft
+    # stage does not maintain amp_tail) — live, not a dead zero; like
+    # FSKCore's (test_signal_quality.py::test_snr_live_during_signal)
+    # it is pinned only as a live positive estimate
+    assert clean.snr > 0.0 and noisy.snr > 0.0
 
 
 def test_unconfigured_raises():

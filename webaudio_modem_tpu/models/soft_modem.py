@@ -74,6 +74,11 @@ class SoftModemCore(EventEmitter):
             self.params, rs_parity=self._rs_parity,
             body_code=self._body_code)
         self._ready = True
+        from webaudio_modem_tpu.ops import fsk_demod
+        if fsk_demod.AUTO_WARM_QUALITY:
+            # same lazy-hitch avoidance as FSKCore.configure: warm the
+            # quality calibration off the hot path
+            fsk_demod.warm_quality_calibration(self.params)
         self.emit("configured")
 
     def get_config(self) -> Optional[FSKConfig]:
@@ -99,6 +104,9 @@ class SoftModemCore(EventEmitter):
         if not self._ready:
             raise RuntimeError("Soft modem not configured")
         samples = np.asarray(samples, np.float32)
+        if samples.ndim != 1:
+            raise ValueError("demodulate_data expects a 1-D sample "
+                             "chunk (FSKCore contract)")
         self._demodulation_calls += 1
         self._total_samples += len(samples)
         if not len(samples):
@@ -130,22 +138,23 @@ class SoftModemCore(EventEmitter):
         if state is None:
             return SignalQuality()
         q = self._decoder.last_sync_quality
+        snr = 0.0
         if q is not None:
-            ratio, s, ss, n = q
+            ratio, s, ss, n, amp_mean, amp_var = q
             one = lambda v: jnp.full((1,), v, jnp.float32)  # noqa: E731
             state = state._replace(last_sync_ratio=one(ratio),
                                    q_win_sum=one(s),
                                    q_win_sumsq=one(ss),
                                    q_win_cnt=one(n))
+            # SNR from the same window's I/Q amplitudes (every sample
+            # carries the pattern, so no activity gating is needed —
+            # FSKCore's amp_tail analog, which the soft stage does not
+            # maintain)
+            if n >= 8:
+                snr = float(10 * np.log10((amp_mean ** 2)
+                                          / (amp_var + 1e-12)))
         ber, freq, jitter, eye = fsk_demod.quality_from_state(
             self.params, state)
-        snr = 0.0
-        amps = np.asarray(state.amp_tail[:, 0])
-        active = amps[amps > float(state.threshold[0])]
-        if len(active) >= 8:
-            mean = float(active.mean())
-            std = float(active.std())
-            snr = float(10 * np.log10((mean ** 2) / (std ** 2 + 1e-12)))
         return SignalQuality(snr=snr, ber=float(ber[0]),
                              eye_opening=float(eye[0]),
                              phase_jitter=float(jitter[0]),
@@ -155,7 +164,7 @@ class SoftModemCore(EventEmitter):
         return {
             "ready": self._ready,
             "demodulation_calls": self._demodulation_calls,
-            "total_samples": self._total_samples,
+            "total_samples_processed": self._total_samples,  # FSKCore key
             "frames_decoded": (self._decoder.frames_decoded
                                if self._decoder else 0),
             "rs_parity": self._rs_parity,

@@ -363,6 +363,7 @@ class SoftFrameDecoder:
         self._ds_phase = 0
         self._bits = np.zeros((0,), np.float32)
         self._softs = np.zeros((0,), np.float64)
+        self._amps = np.zeros((0,), np.float64)
         self._abs0 = 0        # absolute ds index of _bits[0]
         self._scan_from = 0   # absolute ds index: consumed below this
         self._ratio = np.zeros((0,), np.float32)  # cached match ratios
@@ -370,10 +371,10 @@ class SoftFrameDecoder:
         self._failed: set = set()  # dead candidate peaks (absolute)
         self._max_cand = max_candidates_per_scan
         self.frames_decoded = 0
-        # (peak_ratio, soft_sum, soft_sumsq, count) over the sync
-        # window of the last DECODED frame — the soft path never runs
-        # the chunk step's quality_window_update, so the decoder
-        # captures the same statistics itself (see
+        # (peak_ratio, soft_sum, soft_sumsq, count, amp_mean, amp_var)
+        # over the sync window of the last DECODED frame — the soft
+        # path never runs the chunk step's quality_window_update, so
+        # the decoder captures the same statistics itself (see
         # SoftModemCore.get_signal_quality)
         self.last_sync_quality = None
 
@@ -401,6 +402,8 @@ class SoftFrameDecoder:
             self._bits = np.concatenate([self._bits, out.bits[:, 0]])
             self._softs = np.concatenate(
                 [self._softs, out.softs[:, 0].astype(np.float64)])
+            self._amps = np.concatenate(
+                [self._amps, out.amps[:, 0].astype(np.float64)])
             offset += piece
         self._extend_ratios()
         frames = self._scan()
@@ -534,10 +537,14 @@ class SoftFrameDecoder:
                 lo = max(q_peak + 1 - W, self._abs0)
                 win = self._softs[lo - self._abs0:
                                   q_peak + 1 - self._abs0]
+                awin = self._amps[lo - self._abs0:
+                                  q_peak + 1 - self._abs0]
                 self.last_sync_quality = (
                     float(self._ratio[q_peak - r0]),
                     float(win.sum()), float((win ** 2).sum()),
-                    float(len(win)))
+                    float(len(win)),
+                    float(awin.mean()) if len(awin) else 0.0,
+                    float(awin.var()) if len(awin) else 0.0)
                 self._scan_from = body_start + body_bits * ds
                 self._failed = {t for t in self._failed
                                 if t >= self._scan_from}
@@ -557,6 +564,7 @@ class SoftFrameDecoder:
         if cut > 0:
             self._bits = self._bits[cut:]
             self._softs = self._softs[cut:]
+            self._amps = self._amps[cut:]
             self._abs0 += cut
         rcut = self._scan_from - self._ratio_first
         if rcut > 0:
