@@ -261,6 +261,12 @@ def main() -> int:
         except Exception:
             pass
 
+    known = {name for name, _ in CHECKS}
+    unknown = set(args.only or ()) - known
+    if unknown:
+        ap.error(f"unknown check(s) {sorted(unknown)}; "
+                 f"available: {sorted(known)}")
+
     results = []
     ok_all = True
     for name, fn in CHECKS:
