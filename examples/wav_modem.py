@@ -34,10 +34,19 @@ def main() -> int:
     ap.add_argument("--baud", type=int, default=1200)
     ap.add_argument("--fmt", choices=["pcm16", "float32"],
                     default="pcm16")
+    ap.add_argument("--soft", action="store_true",
+                    help="use the soft FEC physical layer instead of "
+                         "the hard UART modem (coded frames, "
+                         "docs/FEC.md) — decode with --soft too")
     args = ap.parse_args()
 
     config = FSKConfig(baud_rate=args.baud)
-    core = FSKCore(config)
+    if args.soft:
+        from webaudio_modem_tpu.models import SoftModemCore
+
+        core = SoftModemCore(config)
+    else:
+        core = FSKCore(config)
 
     if args.mode == "tx":
         data = (open(args.file, "rb").read() if args.file

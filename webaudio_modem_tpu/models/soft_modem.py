@@ -161,12 +161,15 @@ class SoftModemCore(EventEmitter):
                              frequency_offset=float(freq[0]))
 
     def get_status(self) -> dict:
+        frames = self._decoder.frames_decoded if self._decoder else 0
         return {
             "ready": self._ready,
             "demodulation_calls": self._demodulation_calls,
             "total_samples_processed": self._total_samples,  # FSKCore key
-            "frames_decoded": (self._decoder.frames_decoded
-                               if self._decoder else 0),
+            # FSKCore shape parity: every decoded frame required one
+            # sync acquisition
+            "sync_detections": frames,
+            "frames_decoded": frames,
             "rs_parity": self._rs_parity,
             "body_code": (type(self._body_code).__name__
                           if self._body_code is not None else None),
