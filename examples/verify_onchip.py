@@ -17,6 +17,8 @@ checks that previously lived only in commit messages and doc prose:
      one device-resident [B, T] array (two batched Viterbi calls)
   7. LDPC-body farm       — 512 frames with the pluggable LDPC body
      code decoded exactly (batched min-sum replaces the body Viterbi)
+  8. turbo-body farm      — 256 frames with the turbo body code
+     (batched max-log-MAP on device)
 
 Prints ONE JSON summary line (pass/fail per check + timings) and exits
 non-zero on any failure.  Bounded: sized to finish in a few minutes
@@ -206,6 +208,20 @@ def check_soft_farm(B=1024, payload=9, snr_db=6.0):
     return True, f"{B}/{B} FEC frames exact at {snr_db:g} dB (device)"
 
 
+def check_turbo_body_farm(B=256, payload=9, snr_db=8.0):
+    """Turbo as the batched body code: one batched max-log-MAP over
+    B x n_cw codewords replaces the body Viterbi on device."""
+    from webaudio_modem_tpu.ops.turbo import default_code
+
+    code = default_code(K=256)
+    bad = _soft_farm_run(B, payload, snr_db, key=7, body_code=code,
+                         stride=13)
+    if bad:
+        return False, (f"{bad}/{B} turbo-body channels failed at "
+                       f"{snr_db:g} dB")
+    return True, f"{B}/{B} turbo-body frames exact at {snr_db:g} dB"
+
+
 def check_ldpc_body_farm(B=512, payload=9, snr_db=8.0):
     """The pluggable LDPC body mode on the batched device path: body
     Viterbi replaced by one batched min-sum over B x n_cw codewords in
@@ -229,6 +245,7 @@ CHECKS = [
     ("mini_arq", check_mini_arq),
     ("soft_farm", check_soft_farm),
     ("ldpc_body_farm", check_ldpc_body_farm),
+    ("turbo_body_farm", check_turbo_body_farm),
 ]
 
 
