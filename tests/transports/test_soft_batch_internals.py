@@ -1,0 +1,110 @@
+"""Unit tests for the gather-free building blocks of the fused farm
+soft decode (soft_fsk._decode_frames_fused).
+
+These are the exact-equivalence contracts the round-3 fusion relies
+on: the barrel-shift alignment must reproduce per-channel gathers, the
+bit-serial device CRC must match the host table CRC, and the Viterbi
+butterfly must equal the predecessor-table gather it replaced (the
+latter is asserted structurally at trace time in fec._viterbi_core;
+here we pin decode behavior end to end).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+from webaudio_modem_tpu.ops import fec, soft_fsk
+from webaudio_modem_tpu.utils.crc16 import CRC16
+
+
+class TestAlignedRows:
+    def test_matches_numpy_gather(self):
+        rng = np.random.RandomState(0)
+        T, B, U = 200, 16, 37
+        plane = rng.randn(T, B).astype(np.float32)
+        base = rng.randint(0, T - U + 1, B).astype(np.int32)
+        out = np.asarray(soft_fsk._aligned_rows(
+            jnp.asarray(plane), jnp.asarray(base), U))
+        ref = np.stack([plane[base[b]:base[b] + U, b] for b in range(B)],
+                       axis=1)
+        assert (out == ref).all()
+
+    def test_zero_base_is_identity_prefix(self):
+        plane = np.arange(40, dtype=np.float32).reshape(10, 4)
+        out = np.asarray(soft_fsk._aligned_rows(
+            jnp.asarray(plane), jnp.zeros(4, jnp.int32), 6))
+        assert (out == plane[:6]).all()
+
+    def test_short_plane_zero_pads(self):
+        # T < U: the helper must zero-pad instead of failing the slice
+        plane = np.ones((3, 4), np.float32)
+        out = np.asarray(soft_fsk._aligned_rows(
+            jnp.asarray(plane), jnp.zeros(4, jnp.int32), 5))
+        assert out.shape == (5, 4)
+        assert (out[:3] == 1.0).all() and (out[3:] == 0.0).all()
+
+    def test_max_shift(self):
+        # every channel at the maximum legal base
+        rng = np.random.RandomState(1)
+        T, B, U = 64, 8, 16
+        plane = rng.randn(T, B).astype(np.float32)
+        base = np.full(B, T - U, np.int32)
+        out = np.asarray(soft_fsk._aligned_rows(
+            jnp.asarray(plane), jnp.asarray(base), U))
+        assert (out == plane[T - U:]).all()
+
+
+class TestDeviceCRC16:
+    @pytest.mark.parametrize("nbytes", [1, 2, 9, 16, 32])
+    def test_matches_table_crc(self, nbytes):
+        rng = np.random.RandomState(nbytes)
+        data = rng.randint(0, 256, (17, nbytes), dtype=np.uint8)
+        bits = np.unpackbits(data, axis=-1)
+        dev = np.asarray(soft_fsk._crc16_bits_device(jnp.asarray(bits)))
+        ref = np.array([CRC16.calculate(bytes(r)) for r in data])
+        assert (dev == ref).all()
+
+    def test_reference_vectors(self):
+        # the reference suite's vectors (crc16.node.test.ts:12-61)
+        for data, want in ((b"A", 0xB915), (b"123456789", 0x29B1),
+                           (b"\x00", 0xE1F0), (b"\xff", 0xFF00)):
+            bits = np.unpackbits(np.frombuffer(data, np.uint8))
+            got = int(np.asarray(
+                soft_fsk._crc16_bits_device(jnp.asarray(bits))))
+            assert got == want, data
+
+
+class TestViterbiButterfly:
+    def test_roundtrip_random_payloads(self):
+        rng = np.random.RandomState(3)
+        for n_bits in (8, 33, 120):
+            bits = rng.randint(0, 2, (5, n_bits)).astype(np.uint8)
+            coded = fec.conv_encode_bits_batch(bits)
+            soft = coded.astype(np.float32) * 2.0 - 1.0
+            dec = fec.viterbi_decode_soft(soft, n_bits)
+            assert (dec == bits).all()
+
+    def test_corrects_burst_errors(self):
+        rng = np.random.RandomState(4)
+        bits = rng.randint(0, 2, 64).astype(np.uint8)
+        coded = fec.conv_encode_bits(bits).astype(np.float32) * 2 - 1
+        coded[10:14] = -coded[10:14]          # 4-bit burst flip
+        dec = fec.viterbi_decode_soft(coded, 64)
+        assert (dec == bits).all()
+
+
+class TestFusedDecode:
+    def test_packed_ok_column_and_erasures(self):
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        payloads = [bytes((i * 13 + k) & 0xFF for k in range(9))
+                    for i in range(8)]
+        sigs = soft_fsk.encode_frames_batch(params, payloads)
+        noisy = np.array(sigs, np.float32)    # writable copy
+        noisy[3] = 0.0                        # erase one channel
+        out = soft_fsk.decode_frames_batch(params, noisy, 9)
+        assert out[3] is None
+        for i in (0, 1, 2, 4, 5, 6, 7):
+            assert out[i] == payloads[i]
