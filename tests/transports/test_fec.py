@@ -569,6 +569,36 @@ def test_encode_frames_batch_validates_input():
         soft_fsk.encode_frames_batch(params, [b"ab", b"abc"])
 
 
+def test_decode_frames_batch_async_pipelines_to_same_payloads():
+    # the pipelined form: N in-flight dispatches, finalized in order,
+    # each batch byte-identical to the blocking call
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG, FSKParams
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = 3
+    rng = np.random.RandomState(11)
+    batches = []
+    for k in range(3):
+        payloads = [bytes([0x20 + 16 * k + i] * 8) for i in range(B)]
+        sigs = np.stack([soft_fsk.encode_frame_signal(params, p)
+                         for p in payloads])
+        noisy = (sigs + 0.05 * rng.standard_normal(sigs.shape)
+                 ).astype(np.float32)
+        batches.append((noisy, payloads))
+
+    pending = [soft_fsk.decode_frames_batch_async(params, noisy, 8)
+               for noisy, _ in batches]
+    for fin, (noisy, payloads) in zip(pending, batches):
+        assert fin() == payloads
+        assert fin() == soft_fsk.decode_frames_batch(params, noisy, 8)
+
+    # short-stream guard returns a finalizer too
+    short = soft_fsk.decode_frames_batch_async(
+        params, np.zeros((2, 64), np.float32), 8)
+    assert short() == [None, None]
+
+
 def test_soft_batch_device_resident_input_matches_numpy():
     # decode_frames_batch accepts a device-resident jax array in place
     # (the DeviceFarmHub pattern) and returns identical payloads

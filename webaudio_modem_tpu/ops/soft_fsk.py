@@ -841,6 +841,26 @@ def decode_frames_batch(params: FSKParams, samples,
     must match the encoder's: the body Viterbi is replaced by one
     batched block decode (min-sum / max-log-MAP) on device.
     """
+    return decode_frames_batch_async(
+        params, samples, payload_len, rs_parity, body_code)()
+
+
+def decode_frames_batch_async(params: FSKParams, samples,
+                              payload_len: int, rs_parity: int = 0,
+                              body_code=None):
+    """Pipelined form of ``decode_frames_batch``: dispatches the fused
+    device program and returns a zero-argument finalizer that blocks
+    on the result and builds the payload list.
+
+    jax dispatch is asynchronous, so a server draining a stream of
+    batches overlaps batch t+1's device work with fetching batch t —
+    through a remote-chip tunnel the blocking form pays a full
+    dispatch round trip per call (~30 ms) that pipelining hides
+    entirely.  Usage::
+
+        pending = [decode_frames_batch_async(params, s, n) for s in xs]
+        results = [p() for p in pending]
+    """
     _check_rs(payload_len, rs_parity, body_code)
     if isinstance(samples, jax.Array):
         samples = samples.astype(jnp.float32)
@@ -852,11 +872,16 @@ def decode_frames_batch(params: FSKParams, samples,
     if T // 2 < HEADER_CODED_BITS * params.ds_samples_per_bit:
         # stream too short to hold even one coded header span — the
         # candidate index windows would run past the soft stream
-        return [None] * B
+        return lambda: [None] * B
 
-    packed = np.asarray(_decode_frames_fused(
-        params, samples, payload_len, rs_parity, body_code))
-    results = [None] * B
-    for b in np.nonzero(packed[:, payload_len])[0]:
-        results[b] = bytes(packed[b, :payload_len])
-    return results
+    packed_dev = _decode_frames_fused(
+        params, samples, payload_len, rs_parity, body_code)
+
+    def finalize():
+        packed = np.asarray(packed_dev)
+        results = [None] * B
+        for b in np.nonzero(packed[:, payload_len])[0]:
+            results[b] = bytes(packed[b, :payload_len])
+        return results
+
+    return finalize
