@@ -11,6 +11,13 @@ byte aggregates, drained through the batched C++ deframer.
 
     python examples/farm_endurance.py --batch 4096 --rounds 3
 
+``--soft`` runs the same topology over the soft-decision FEC wire
+(runtime/soft_hub.SoftFarmHub — the FEC memo's receive pipeline at
+farm scale; ``--rs-parity`` / ``--body ldpc|turbo`` select the body
+coding):
+
+    python examples/farm_endurance.py --soft --batch 1024 --rounds 3
+
 Prints per-round results, per-quantum host time (from the metrics
 timers), and a final ALL OK / MISMATCH verdict with RSS.  Exits
 non-zero on any payload mismatch.
@@ -27,6 +34,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from webaudio_modem_tpu.utils.platform import ensure_env_platform  # noqa: E402
+
+ensure_env_platform()
+
 
 def _rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
@@ -34,7 +45,8 @@ def _rss_mb() -> float:
 
 async def run(batch: int, rounds: int, payload_size: int,
               noise_power: float, quantum: int, ring_quanta: int,
-              timeout_ms: float) -> int:
+              timeout_ms: float, soft: bool = False,
+              rs_parity: int = 0, body: str = "") -> int:
     import jax
 
     # Persistent compile cache ONLY for the (remote-compiled) TPU
@@ -58,12 +70,39 @@ async def run(batch: int, rounds: int, payload_size: int,
     from webaudio_modem_tpu.transports.xmodem import XModemTransport
     from webaudio_modem_tpu.utils.trace import metrics
 
-    hub = DeviceFarmHub(
-        DEFAULT_FSK_CONFIG, batch, quantum=quantum,
-        ring_quanta=ring_quanta,
-        device_channel_fn=make_device_awgn(noise_power)
-        if noise_power else None)
-    print(f"{batch} concurrent XModem sessions, {payload_size} B payload, "
+    chan = make_device_awgn(noise_power) if noise_power else None
+    if soft:
+        from webaudio_modem_tpu.models.config import FSKParams
+        from webaudio_modem_tpu.ops import soft_fsk
+        from webaudio_modem_tpu.runtime.soft_hub import SoftFarmHub
+
+        body_code = None
+        if body == "ldpc":
+            from webaudio_modem_tpu.ops.ldpc import default_code
+            body_code = default_code()
+        elif body == "turbo":
+            from webaudio_modem_tpu.ops.turbo import TurboCode
+            body_code = TurboCode()
+        elif body:
+            raise SystemExit(f"unknown --body {body!r}")
+        # the ring must hold the longest frame (a 133-byte XModem
+        # packet) plus a quantum of slack
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        need = -(-soft_fsk.frame_signal_length(
+            params, 133, rs_parity, body_code) // quantum) + 2
+        hub = SoftFarmHub(
+            DEFAULT_FSK_CONFIG, batch, quantum=quantum,
+            ring_quanta=max(ring_quanta, need),
+            device_channel_fn=chan, rs_parity=rs_parity,
+            body_code=body_code)
+    else:
+        hub = DeviceFarmHub(
+            DEFAULT_FSK_CONFIG, batch, quantum=quantum,
+            ring_quanta=ring_quanta, device_channel_fn=chan)
+    kind = (f"soft-FEC (rs_parity={rs_parity}, body={body or 'conv'})"
+            if soft else "hard-UART")
+    print(f"{batch} concurrent XModem sessions over the {kind} wire, "
+          f"{payload_size} B payload, "
           f"{DEFAULT_FSK_CONFIG.baud_rate} baud, noise={noise_power} "
           f"(native deframer: {hub._deframers['a'].is_native}, "
           f"ring {hub.ring_len} samples/side)")
@@ -159,10 +198,19 @@ def main() -> int:
     p.add_argument("--quantum", type=int, default=4800)
     p.add_argument("--ring-quanta", type=int, default=16)
     p.add_argument("--timeout-ms", type=float, default=30000)
+    p.add_argument("--soft", action="store_true",
+                   help="run over the soft-FEC wire "
+                        "(runtime/soft_hub.SoftFarmHub)")
+    p.add_argument("--rs-parity", type=int, default=0,
+                   help="soft wire: concatenated RS parity symbols")
+    p.add_argument("--body", default="",
+                   help="soft wire body code: ldpc | turbo "
+                        "(default: convolutional)")
     args = p.parse_args()
     return asyncio.run(run(args.batch, args.rounds, args.payload,
                            args.noise, args.quantum, args.ring_quanta,
-                           args.timeout_ms))
+                           args.timeout_ms, soft=args.soft,
+                           rs_parity=args.rs_parity, body=args.body))
 
 
 if __name__ == "__main__":

@@ -1,24 +1,27 @@
-"""DeviceFarmHub — the farm hub with the WIRE living in device HBM.
+"""Device-resident farm hubs — the WIRE lives in device HBM.
 
 The host-playout hub (runtime/farm_channel.FarmLoopbackHub) builds a
 [B, T] numpy frame per quantum and uploads it — fine on a local chip,
 but through a network tunnel the audio upload dominates
 (docs/PERFORMANCE.md "interactive topologies are transfer-bound").
-This hub removes audio from the host path entirely (VERDICT r2 missing
-#3 / next-step #2):
+The hubs here remove audio from the host path entirely (VERDICT r2
+missing #3 / next-step #2):
 
   * Each side owns a device-resident TX ring ``[B, ring_len]`` —
     the wire.  Transmissions are synthesized ON DEVICE (cohort-batched
-    ``modulate_batch``, one dispatch per message length per quantum)
-    and masked-added into the ring at quantum-aligned offsets.  The
-    signal matrix never visits the host.
-  * Each ``step()`` runs ONE fused jitted pump per direction: slice
-    the next quantum out of the ring, zero the consumed region, apply
-    the on-device channel function (e.g. sim.make_device_awgn), and
-    feed the batched demodulator with donated state.
+    synthesis, one dispatch per message length per quantum) and
+    written into the ring at quantum-aligned offsets.  The signal
+    matrix never visits the host.
+  * ``DeviceFarmHub`` (hard UART path): each ``step()`` runs ONE fused
+    jitted pump per direction — slice the next quantum out of the
+    ring, zero the consumed region, apply the on-device channel
+    function (e.g. sim.make_device_awgn), and feed the batched
+    demodulator with donated state.
   * The ONLY per-quantum device->host traffic is the decoded-byte
     aggregates ([B] counts + [B, maxb] bytes, a few tens of KB at
     B=4096), drained through the batched C++ deframer.
+  * ``runtime/soft_hub.SoftFarmHub`` shares the ring machinery
+    (``RingHubBase``) but decodes FEC frames in scheduled windows.
 
 Playout bookkeeping is pure host arithmetic (write offsets and signal
 lengths are data-independent), so ``modulate()`` futures resolve when
@@ -35,7 +38,7 @@ from __future__ import annotations
 
 import functools
 from collections import defaultdict
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
@@ -47,68 +50,40 @@ from webaudio_modem_tpu.runtime.farm_channel import FarmHubBase, _TxEntry
 from webaudio_modem_tpu.utils.trace import metrics
 
 
-class DeviceFarmHub(FarmHubBase):
-    """B full-duplex wires held in device HBM; host traffic bytes-only.
+class RingHubBase(FarmHubBase):
+    """Ring-wire machinery shared by the device-resident hubs: HBM
+    TX rings, cohort-batched synthesis writes at quantum-aligned
+    offsets, abort clearing, and playout-resolution bookkeeping.
 
-    Same channel surface as FarmLoopbackHub (``channel(side, i)`` ->
-    FarmDataChannel with modulate / demodulate / next_frame), same
-    cohort TX submission model, same batched native drain.
-
-    ``device_channel_fn``: optional jittable ``fn(frame, key) -> frame``
-    applied inside the pump (see sim.make_device_awgn).  ``ring_quanta``
-    sizes the wire: it must hold the longest signal (rounded up to
-    whole quanta) plus one quantum of slack.
+    Subclasses provide ``_synth_full(side, datas) -> [B, T]`` (a
+    device-resident full-batch synthesis of B equal-length messages)
+    and may override ``_on_group_written`` to schedule receive-side
+    work for the written playout window.
     """
 
-    def __init__(self, config, batch: int, quantum: int = 4800,
-                 ring_quanta: int = 16,
-                 device_channel_fn: Optional[Callable] = None,
-                 seed: int = 0):
+    def __init__(self, config, batch: int, quantum: int,
+                 ring_quanta: int):
         super().__init__(config, batch, quantum)
-        self._ops, self._params = _resolve_family(config)
-        if quantum % self._params.downsample_ratio != 0:
-            raise ValueError(
-                f"quantum ({quantum}) must be a multiple of the "
-                f"downsample ratio ({self._params.downsample_ratio})")
         self.ring_len = ring_quanta * quantum
         self._rings = {
             "a": jnp.zeros((batch, self.ring_len), jnp.float32),
             "b": jnp.zeros((batch, self.ring_len), jnp.float32)}
-        self._states = {"a": self._ops.init_state(self._params, batch),
-                        "b": self._ops.init_state(self._params, batch)}
-        self._keys = {"a": jax.random.PRNGKey(seed),
-                      "b": jax.random.PRNGKey(seed + 1)}
-        self._pending_out: Dict[str, Optional[object]] = {
-            "a": None, "b": None}
         # host playout bookkeeping, absolute sample clock
         self._busy_until = {"a": [0] * batch, "b": [0] * batch}
         # step index -> [(channel, entry)] resolved when that step's
         # quantum has been consumed
         self._resolve_at: Dict[str, Dict[int, list]] = {
             "a": defaultdict(list), "b": defaultdict(list)}
-
-        inner = self._ops.make_demod_chunk(self._params, 0, donate=False)
-        chan = device_channel_fn
-        B, q = batch, quantum
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
-        def _pump(ring, state, roff, key):
-            frame = jax.lax.dynamic_slice(ring, (0, roff), (B, q))
-            ring = jax.lax.dynamic_update_slice(
-                ring, jnp.zeros((B, q), jnp.float32), (0, roff))
-            if chan is not None:
-                key, sub = jax.random.split(key)
-                frame = chan(frame, sub)
-            state, out = inner(state, frame)
-            return ring, state, out, key
+        B = batch
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def _ring_add(ring, sig, mask, woff):
-            """Masked add of [B, L] into the ring at column woff: rows
-            outside the cohort add zero, so concurrent signals on other
-            channels are untouched."""
+        def _ring_write(ring, sig, mask, woff):
+            """Overwrite columns [woff, woff+L) of the masked rows with
+            sig (select, not add): rows outside the cohort keep their
+            concurrent signals untouched, rows inside drop whatever
+            stale audio a previous ring revolution left there."""
             win = jax.lax.dynamic_slice(ring, (0, woff), sig.shape)
-            win = win + sig * mask[:, None]
+            win = win * (1.0 - mask[:, None]) + sig * mask[:, None]
             return jax.lax.dynamic_update_slice(ring, win, (0, woff))
 
         @functools.partial(jax.jit, static_argnums=(3,),
@@ -120,8 +95,7 @@ class DeviceFarmHub(FarmHubBase):
             win = win * keep[:, None]
             return jax.lax.dynamic_update_slice(ring, win, (0, coff))
 
-        self._pump = _pump
-        self._ring_add = _ring_add
+        self._ring_write = _ring_write
         self._ring_clear = _ring_clear
 
     # -- TX: device-resident playout ----------------------------------------
@@ -129,9 +103,20 @@ class DeviceFarmHub(FarmHubBase):
     def _quanta(self, n: int) -> int:
         return -(-n // self.quantum) * self.quantum
 
+    def _synth_full(self, side: str, datas) -> "jax.Array":
+        """Full-batch synthesis of B equal-length messages -> device
+        [B, T].  Subclass hook (UART framing vs FEC frames)."""
+        raise NotImplementedError
+
+    def _on_group_written(self, side: str, w: int, Lpad: int, T: int,
+                          rows, entries, length: int) -> None:
+        """Called after a cohort's signal entered the ring at absolute
+        sample offset ``w`` (playout window [w, w+Lpad)).  Base: no-op;
+        the soft hub schedules the window decode here."""
+
     def _launch(self, side: str) -> None:
         t_read = self.steps * self.quantum  # quantum consumed THIS step
-        for _length, (rows, datas, entries) in \
+        for length, (rows, datas, entries) in \
                 self._collect_launchable(side).items():
             # sub-group by write offset (stop-and-wait traffic is idle
             # when it sends, so almost always one group at t_read)
@@ -143,7 +128,7 @@ class DeviceFarmHub(FarmHubBase):
                 g[1].append(d)
                 g[2].append(e)
             for w, (rws, ds, es) in by_w.items():
-                self._write_group(side, w, t_read, rws, ds, es)
+                self._write_group(side, w, t_read, rws, ds, es, length)
 
     def _defer(self, side: str, rows, entries) -> None:
         """Ring too full: push the entries back and retry next step."""
@@ -154,13 +139,13 @@ class DeviceFarmHub(FarmHubBase):
             self._ready_tx[side].add(i)
 
     def _write_group(self, side: str, w: int, t_read: int,
-                     rows, datas, entries) -> None:
+                     rows, datas, entries, length: int) -> None:
         # full-B synthesis with a row mask: in the farm-flood case every
         # row transmits anyway, and the masked form needs no scatter
         msgs_full = [datas[0]] * self.batch
         for i, d in zip(rows, datas):
             msgs_full[i] = d
-        sig = self._ops.modulate_batch(self._params, msgs_full)  # device
+        sig = self._synth_full(side, msgs_full)           # device
         T = int(sig.shape[1])
         Lpad = self._quanta(T)
         if w + Lpad - t_read > self.ring_len:
@@ -180,18 +165,20 @@ class DeviceFarmHub(FarmHubBase):
         woff = w % self.ring_len
         ring = self._rings[side]
         if woff + Lpad <= self.ring_len:
-            ring = self._ring_add(ring, sig, mask, np.int32(woff))
+            ring = self._ring_write(ring, sig, mask, np.int32(woff))
         else:
             n1 = self.ring_len - woff
-            ring = self._ring_add(ring, sig[:, :n1], mask,
-                                  np.int32(woff))
-            ring = self._ring_add(ring, sig[:, n1:], mask, np.int32(0))
+            ring = self._ring_write(ring, sig[:, :n1], mask,
+                                    np.int32(woff))
+            ring = self._ring_write(ring, sig[:, n1:], mask,
+                                    np.int32(0))
         self._rings[side] = ring
         s_end = (w + T - 1) // self.quantum
         for i, e in zip(rows, entries):
             self._busy_until[side][i] = w + T
             e.cohort = (w, Lpad)  # device hub: playout region record
             self._resolve_at[side][s_end].append((i, e))
+        self._on_group_written(side, w, Lpad, T, rows, entries, length)
 
     def _stop_playing(self, side: str, index: int,
                       entry: _TxEntry) -> None:
@@ -233,6 +220,57 @@ class DeviceFarmHub(FarmHubBase):
                     e.fut.set_result(None)
                 if self._pending_tx[side][i]:
                     self._ready_tx[side].add(i)
+
+
+class DeviceFarmHub(RingHubBase):
+    """B full-duplex wires held in device HBM; host traffic bytes-only.
+
+    Same channel surface as FarmLoopbackHub (``channel(side, i)`` ->
+    FarmDataChannel with modulate / demodulate / next_frame), same
+    cohort TX submission model, same batched native drain.
+
+    ``device_channel_fn``: optional jittable ``fn(frame, key) -> frame``
+    applied inside the pump (see sim.make_device_awgn).  ``ring_quanta``
+    sizes the wire: it must hold the longest signal (rounded up to
+    whole quanta) plus one quantum of slack.
+    """
+
+    def __init__(self, config, batch: int, quantum: int = 4800,
+                 ring_quanta: int = 16,
+                 device_channel_fn: Optional[Callable] = None,
+                 seed: int = 0):
+        super().__init__(config, batch, quantum, ring_quanta)
+        self._ops, self._params = _resolve_family(config)
+        if quantum % self._params.downsample_ratio != 0:
+            raise ValueError(
+                f"quantum ({quantum}) must be a multiple of the "
+                f"downsample ratio ({self._params.downsample_ratio})")
+        self._states = {"a": self._ops.init_state(self._params, batch),
+                        "b": self._ops.init_state(self._params, batch)}
+        self._keys = {"a": jax.random.PRNGKey(seed),
+                      "b": jax.random.PRNGKey(seed + 1)}
+        self._pending_out: Dict[str, Optional[object]] = {
+            "a": None, "b": None}
+
+        inner = self._ops.make_demod_chunk(self._params, 0, donate=False)
+        chan = device_channel_fn
+        B, q = batch, quantum
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 3))
+        def _pump(ring, state, roff, key):
+            frame = jax.lax.dynamic_slice(ring, (0, roff), (B, q))
+            ring = jax.lax.dynamic_update_slice(
+                ring, jnp.zeros((B, q), jnp.float32), (0, roff))
+            if chan is not None:
+                key, sub = jax.random.split(key)
+                frame = chan(frame, sub)
+            state, out = inner(state, frame)
+            return ring, state, out, key
+
+        self._pump = _pump
+
+    def _synth_full(self, side: str, datas) -> "jax.Array":
+        return self._ops.modulate_batch(self._params, datas)
 
     # -- the pump ----------------------------------------------------------
 
