@@ -19,6 +19,9 @@ checks that previously lived only in commit messages and doc prose:
      code decoded exactly (batched min-sum replaces the body Viterbi)
   8. turbo-body farm      — 256 frames with the turbo body code
      (batched max-log-MAP on device)
+  9. soft-hub ARQ         — 32 concurrent XModem sessions over the
+     soft-FEC wire (SoftFarmHub: scheduled window decodes through the
+     fused soft decoder, on-device AWGN), every payload exact
 
 Prints ONE JSON summary line (pass/fail per check + timings) and exits
 non-zero on any failure.  Bounded: sized to finish in a few minutes
@@ -249,6 +252,48 @@ def check_ldpc_body_farm(B=512, payload=9, snr_db=8.0):
     return True, f"{B}/{B} LDPC-body frames exact at {snr_db:g} dB"
 
 
+def check_soft_hub_arq(batch=32, payload=11):
+    """Farm-scale ARQ over the soft-FEC wire: the FEC memo's receive
+    pipeline under the full XModem protocol, wire in HBM, on-device
+    noise, decoded frames drained through the C++ deframer."""
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
+    from webaudio_modem_tpu.runtime.soft_hub import SoftFarmHub
+    from webaudio_modem_tpu.sim import make_device_awgn
+    from webaudio_modem_tpu.transports.xmodem import XModemTransport
+
+    async def run():
+        hub = SoftFarmHub(DEFAULT_FSK_CONFIG, batch, quantum=4800,
+                          ring_quanta=24,
+                          device_channel_fn=make_device_awgn(1e-4))
+        senders = [XModemTransport(hub.channel("a", i))
+                   for i in range(batch)]
+        receivers = [XModemTransport(hub.channel("b", i))
+                     for i in range(batch)]
+        for t in senders + receivers:
+            t.configure({"timeout_ms": 600000})
+        payloads = [bytes((i * 3 + k) & 0xFF for k in range(payload))
+                    for i in range(batch)]
+        pump = asyncio.ensure_future(hub.run())
+        try:
+            recv = [asyncio.ensure_future(r.receive_data())
+                    for r in receivers]
+            await asyncio.sleep(0)
+            await asyncio.gather(*(s.send_data(p)
+                                   for s, p in zip(senders, payloads)))
+            results = await asyncio.gather(*recv)
+        finally:
+            hub.stop()
+            await pump
+        bad = sum(1 for r, p in zip(results, payloads) if r != p)
+        return bad, hub.steps, hub.get_status()["frames_decoded"]
+
+    bad, steps, frames = asyncio.run(run())
+    if bad:
+        return False, f"{bad}/{batch} soft-wire ARQ payloads mismatched"
+    return True, (f"{batch}/{batch} ARQ transfers exact over the "
+                  f"soft-FEC wire ({steps} quanta, {frames} frames)")
+
+
 CHECKS = [
     ("golden_differential", check_golden_differential),
     ("pallas_vs_lax", check_pallas_vs_lax),
@@ -258,6 +303,7 @@ CHECKS = [
     ("soft_farm", check_soft_farm),
     ("ldpc_body_farm", check_ldpc_body_farm),
     ("turbo_body_farm", check_turbo_body_farm),
+    ("soft_hub_arq", check_soft_hub_arq),
 ]
 
 

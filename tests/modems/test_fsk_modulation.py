@@ -111,6 +111,17 @@ def test_int_phase_tables_match_float64():
                               (lead, trail))
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=5e-4)
+        # the production path (_phase_acc_int host prefix + device-side
+        # scale/omega in _synth_int) synthesizes the same signal
+        acc = fsk_mod._phase_acc_int(params, bits)
+        prod = fsk_mod._synth_int(acc, bits, int(params.sample_rate),
+                                  float(params.mark_freq),
+                                  float(params.space_freq),
+                                  params.samples_per_bit, (lead, trail))
+        np.testing.assert_allclose(np.asarray(prod), np.asarray(ref),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(prod), np.asarray(fast),
+                                   atol=1e-5)
 
 
 class TestFrameBitsBatchValidation:

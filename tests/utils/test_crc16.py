@@ -62,3 +62,30 @@ class TestPerformance:
         assert CRC16.FINAL_XOR == 0x0000
         # single-bit difference changes the CRC
         assert CRC16.calculate(bytes([0x00])) != CRC16.calculate(bytes([0x01]))
+
+
+class TestBatchRows:
+    def test_rows_match_scalar(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        rows = rng.randint(0, 256, (37, 19), dtype=np.uint8)
+        got = CRC16.calculate_rows(rows)
+        assert got.dtype == np.uint16
+        for r, g in zip(rows, got):
+            assert int(g) == CRC16.calculate(bytes(r))
+
+    def test_reference_vectors_and_empty(self):
+        import numpy as np
+
+        rows = np.frombuffer(b"123456789", np.uint8)[None, :]
+        assert int(CRC16.calculate_rows(rows)[0]) == 0x29B1
+        empty = np.zeros((3, 0), np.uint8)
+        assert (CRC16.calculate_rows(empty) == 0xFFFF).all()
+
+    def test_rejects_non_matrix(self):
+        import numpy as np
+        import pytest
+
+        with pytest.raises(ValueError):
+            CRC16.calculate_rows(np.zeros(4, np.uint8))

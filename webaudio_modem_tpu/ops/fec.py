@@ -104,19 +104,23 @@ def conv_encode_bits_batch(bits: np.ndarray) -> np.ndarray:
     if bits.ndim != 2:
         raise ValueError("conv_encode_bits_batch expects [B, n] bits")
     B, n = bits.shape
-    # window rows: reg at input index i = bits[i-K+1 .. i], newest in
-    # the LSB (the scalar loop's register convention)
+    # reg at input index i = bits[i-K+1 .. i], newest in the LSB (the
+    # scalar loop's register convention); parity = XOR over the tapped
+    # window columns, computed as <= K shifted-column XORs of the
+    # padded plane — the earlier [B, n+K-1, K] gather + integer matmul
+    # form cost ~30x this (numpy int matmul is not BLAS, and the
+    # window fancy-index materialized K copies of the stream)
     padded = np.concatenate(
         [np.zeros((B, K - 1), np.uint8), bits,
          np.zeros((B, K - 1), np.uint8)], axis=1)
-    idx = np.arange(n + K - 1)[:, None] + np.arange(K)[None, :]
-    win = padded[:, idx].astype(np.int32)        # [B, n+K-1, K]
-    # G bit (K-1-j) taps window column j (oldest bit at the MSB)
-    g0 = np.array([(G0 >> (K - 1 - j)) & 1 for j in range(K)], np.int32)
-    g1 = np.array([(G1 >> (K - 1 - j)) & 1 for j in range(K)], np.int32)
     coded = np.empty((B, 2 * (n + K - 1)), np.uint8)
-    coded[:, 0::2] = (win @ g0) & 1
-    coded[:, 1::2] = (win @ g1) & 1
+    for out, g in ((coded[:, 0::2], G0), (coded[:, 1::2], G1)):
+        acc = np.zeros((B, n + K - 1), np.uint8)
+        # G bit (K-1-j) taps window column j (oldest bit at the MSB)
+        for j in range(K):
+            if (g >> (K - 1 - j)) & 1:
+                acc ^= padded[:, j:j + n + K - 1]
+        out[:] = acc
     return coded
 
 

@@ -110,29 +110,71 @@ def _synth(offsets, omega, samples_per_bit: int, pad: Tuple[int, int]):
     return jnp.pad(sig, pad_widths)
 
 
-def _phase_tables_int(params: FSKParams,
-                      bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact integer-arithmetic phase tables for integer
-    mark/space/sample-rate configs (the practical case), emitted as
-    float32 so the host->device upload is half the float64 tables'.
+def _phase_acc_int(params: FSKParams, bits: np.ndarray) -> np.ndarray:
+    """Exact integer exclusive phase prefix (mod fs) for integer
+    mark/space/sample-rate configs — the host half of the fast TX
+    path (``_synth_int`` is the device half).
 
     The per-bit phase advance is 2*pi*(f*spb mod fs)/fs, so the
-    exclusive phase prefix is EXACT int64 arithmetic mod fs — the same
-    values mod 2*pi as the float64 path, with no length limit.  (An
-    earlier fully-on-device int32 variant hit a pathological ~5-minute
-    XLA:TPU compile of the integer cumsum; the prefix is trivial host
-    work, so it stays here.)
+    exclusive prefix is EXACT integer arithmetic mod fs — the same
+    values mod 2*pi as the float64 path.  int32 while the un-modded
+    prefix provably fits (n_bits * max step < 2^31 — every practical
+    frame), int64 beyond; exactness is unchanged either way.  Host
+    work is ONLY this cumsum: the mod-fs scale to radians and the
+    per-bit omega selection run on device (`_synth_int`), which
+    matters because the farm host is a single contended core — the
+    f64 scale over [B, n_bits] alone cost ~0.5-3 s per B=4096 write
+    group.  (A fully-on-device variant of the CUMSUM itself hit a
+    pathological ~5-minute XLA:TPU remote compile; the prefix stays
+    host-side.)
     """
     spb = params.samples_per_bit
     fs = int(params.sample_rate)
     mark_step = int(params.mark_freq) * spb % fs
     space_step = int(params.space_freq) * spb % fs
-    steps = np.where(bits == 1, np.int64(mark_step),
-                     np.int64(space_step))
-    acc = (np.cumsum(steps, axis=-1) - steps) % fs
+    b = np.asarray(bits)
+    n_bits = b.shape[-1]
+    dt = (np.int32 if n_bits * max(mark_step, space_step, 1)
+          < 2 ** 31 else np.int64)
+    steps = space_step + b.astype(dt) * dt(mark_step - space_step)
+    acc = np.cumsum(steps, axis=-1, dtype=dt) - steps
+    return (acc % fs).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _synth_int(acc, bits, fs: int, mark_freq: float, space_freq: float,
+               samples_per_bit: int, pad: Tuple[int, int]):
+    """Device synthesis from the exact integer phase prefix: derive
+    the radian offsets (acc < fs is exact in f32) and the per-bit
+    omega on device, then the shared sin expansion.  Uploads int32
+    prefix + int8 bits (5/8 the f32 tables' bytes) and moves the
+    [B, n_bits] scale/select passes off the single-core host."""
+    import jax.numpy as jnp
+
     two_pi = 2.0 * np.pi
+    offsets = acc.astype(jnp.float32) * jnp.float32(two_pi / fs)
+    omega = jnp.where(bits == 1,
+                      jnp.float32(two_pi * mark_freq / fs),
+                      jnp.float32(two_pi * space_freq / fs))
+    k = jnp.arange(samples_per_bit, dtype=jnp.float32)
+    phase = offsets[..., None] + omega[..., None] * k
+    sig = jnp.sin(phase)
+    sig = sig.reshape(*sig.shape[:-2], -1)
+    lead, trail = pad
+    pad_widths = [(0, 0)] * (sig.ndim - 1) + [(lead, trail)]
+    return jnp.pad(sig, pad_widths)
+
+
+def _phase_tables_int(params: FSKParams,
+                      bits: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """f32 host phase tables from the exact integer prefix (kept for
+    differential tests; production batch TX feeds ``_phase_acc_int``
+    straight to ``_synth_int``)."""
+    two_pi = 2.0 * np.pi
+    fs = int(params.sample_rate)
+    acc = _phase_acc_int(params, bits)
     offsets = (acc * (two_pi / fs)).astype(np.float32)
-    omega = np.where(bits == 1,
+    omega = np.where(np.asarray(bits) == 1,
                      np.float32(two_pi * int(params.mark_freq) / fs),
                      np.float32(two_pi * int(params.space_freq) / fs))
     return offsets, omega
@@ -175,7 +217,10 @@ def modulate_batch(params: FSKParams, messages: Sequence[bytes]):
     lead = params.samples_per_bit * 2 if total_bytes > 0 else 0
     trail = params.bits_per_byte * params.samples_per_bit
     if _int_config(params):
-        offsets, omega = _phase_tables_int(params, bits)  # exact, f32
-    else:
-        offsets, omega = _phase_tables(params, bits)      # f64 fallback
+        acc = _phase_acc_int(params, bits)               # exact int32
+        return _synth_int(acc, bits, int(params.sample_rate),
+                          float(params.mark_freq),
+                          float(params.space_freq),
+                          params.samples_per_bit, (lead, trail))
+    offsets, omega = _phase_tables(params, bits)          # f64 fallback
     return _synth(offsets, omega, params.samples_per_bit, (lead, trail))

@@ -182,8 +182,18 @@ def encode_frames_batch(params: FSKParams, payloads,
     # the header depends only on the (shared) length: encode it once
     hdr_coded = fec.conv_encode_bits(fec.bytes_to_bits(
         fec.build_frame_header(len(payloads[0])))).astype(np.int8)
-    body_bits = np.stack([fec.bytes_to_bits(fec.build_frame_body(p))
-                          for p in payloads])
+    # vectorized body framing: payload matrix + batched CRC16 column,
+    # one unpackbits — the per-message build_frame_body loop cost
+    # ~100 ms of host time per write group at B=1024 (the soft hub's
+    # TX bottleneck; same O(B*n)-interpreter-steps class as the hard
+    # path's pre-round-2 framing loop)
+    pl = len(payloads[0])
+    pay = np.frombuffer(b"".join(payloads), np.uint8).reshape(B, pl)
+    crcs = CRC16.calculate_rows(pay)
+    body_bytes = np.concatenate(
+        [pay, (crcs >> 8).astype(np.uint8)[:, None],
+         (crcs & 0xFF).astype(np.uint8)[:, None]], axis=1)
+    body_bits = np.unpackbits(body_bytes, axis=1)
     if rs_parity:
         coded = _rs_encode_bodies(np.packbits(body_bits, axis=1),
                                   rs_parity)
@@ -201,9 +211,12 @@ def encode_frames_batch(params: FSKParams, payloads,
     lead = params.samples_per_bit * 2
     trail = params.bits_per_byte * params.samples_per_bit
     if fsk_mod._int_config(params):
-        offsets, omega = fsk_mod._phase_tables_int(params, bits)
-    else:
-        offsets, omega = fsk_mod._phase_tables(params, bits)
+        acc = fsk_mod._phase_acc_int(params, bits)
+        return fsk_mod._synth_int(acc, bits, int(params.sample_rate),
+                                  float(params.mark_freq),
+                                  float(params.space_freq),
+                                  params.samples_per_bit, (lead, trail))
+    offsets, omega = fsk_mod._phase_tables(params, bits)
     return fsk_mod._synth(offsets, omega, params.samples_per_bit,
                           (lead, trail))
 

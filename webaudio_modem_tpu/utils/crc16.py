@@ -57,3 +57,22 @@ class CRC16:
     @staticmethod
     def verify(data: bytes, expected_crc: int) -> bool:
         return CRC16.calculate(data) == expected_crc
+
+    @staticmethod
+    def calculate_rows(rows) -> "np.ndarray":
+        """Vectorized CRC over a [B, n] uint8 byte matrix -> [B]
+        uint16: the table recurrence runs once per byte POSITION with
+        all B lanes in numpy — the per-message Python loop cost O(B*n)
+        interpreter steps at farm batch (the soft hub's host-TX
+        bottleneck at B>=1024)."""
+        import numpy as np
+
+        rows = np.asarray(rows, np.uint8)
+        if rows.ndim != 2:
+            raise ValueError("calculate_rows expects [B, n] bytes")
+        table = np.asarray(_TABLE, np.uint32)
+        crc = np.full(rows.shape[0], _INITIAL_VALUE, np.uint32)
+        for j in range(rows.shape[1]):
+            crc = ((crc << 8) & 0xFFFF) ^ table[((crc >> 8)
+                                                 ^ rows[:, j]) & 0xFF]
+        return (crc ^ _FINAL_XOR).astype(np.uint16)
