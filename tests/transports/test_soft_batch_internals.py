@@ -57,6 +57,48 @@ class TestAlignedRows:
         assert (out == plane[T - U:]).all()
 
 
+class TestAlignedStrided:
+    @pytest.mark.parametrize("ds", [1, 2, 16, 20])
+    def test_matches_numpy_gather(self, ds):
+        rng = np.random.RandomState(ds)
+        n_out = 23
+        T, B = n_out * ds + 175, 16
+        plane = rng.randn(T, B).astype(np.float32)
+        base = rng.randint(0, T - (n_out - 1) * ds - 1, B).astype(np.int32)
+        out = np.asarray(soft_fsk._aligned_strided(
+            jnp.asarray(plane), jnp.asarray(base), n_out, ds))
+        ref = np.stack([plane[base[b] + np.arange(n_out) * ds, b]
+                        for b in range(B)], axis=1)
+        assert (out == ref).all()
+
+    def test_max_base(self):
+        ds, n_out = 20, 7
+        T, B = 200, 8
+        rng = np.random.RandomState(2)
+        plane = rng.randn(T, B).astype(np.float32)
+        base = np.full(B, T - (n_out - 1) * ds - 1, np.int32)
+        out = np.asarray(soft_fsk._aligned_strided(
+            jnp.asarray(plane), jnp.asarray(base), n_out, ds))
+        ref = np.stack([plane[base[b] + np.arange(n_out) * ds, b]
+                        for b in range(B)], axis=1)
+        assert (out == ref).all()
+
+    def test_equals_dense_window_stride(self):
+        # the form it replaced in _batch_body_stage: full-window
+        # alignment followed by a ds-strided slice
+        rng = np.random.RandomState(3)
+        ds, n_out = 20, 30
+        T, B = 1000, 32
+        plane = rng.randn(T, B).astype(np.float32)
+        U = (n_out - 1) * ds + 1
+        base = rng.randint(0, T - U, B).astype(np.int32)
+        dense = np.asarray(soft_fsk._aligned_rows(
+            jnp.asarray(plane), jnp.asarray(base), U))[::ds]
+        strided = np.asarray(soft_fsk._aligned_strided(
+            jnp.asarray(plane), jnp.asarray(base), n_out, ds))
+        assert (strided == dense).all()
+
+
 class TestDeviceCRC16:
     @pytest.mark.parametrize("nbytes", [1, 2, 9, 16, 32])
     def test_matches_table_crc(self, nbytes):

@@ -643,6 +643,39 @@ def _aligned_rows(plane, base, U: int):
     return x                      # length is exactly U after k == 1
 
 
+def _aligned_strided(plane, base, n_out: int, ds: int):
+    """Per-channel STRIDED rows without a scalar gather:
+    out[j, b] = plane[base[b] + j*ds, b] for j < n_out.
+
+    The body stage only reads every ds-th row of its aligned window,
+    so aligning the full (n_out-1)*ds+1 rows wastes ~ds x the traffic.
+    Decompose base = q*ds + r: reshape the plane to [n_q, ds, B], pick
+    phase r with a truncating barrel over the (tiny) ds axis, then
+    align the resulting ds-times-smaller [n_q, B] plane by q with
+    ``_aligned_rows``.  Exact: out[j] = plane[(q+j)*ds + r] =
+    plane[base + j*ds]; the zero padding is only read past the stream
+    end (channels the callers already mask)."""
+    T, B = plane.shape
+    if ds == 1:
+        return _aligned_rows(plane, base, n_out)
+    q = base // ds
+    r = base - q * ds
+    n_q = -(-T // ds) + 1          # +1: q+j may step one row past T/ds
+    x = jnp.concatenate(
+        [plane, jnp.zeros((n_q * ds - T, B), plane.dtype)], 0)
+    x = x.reshape(n_q, ds, B)
+    kmax = 1 << (int(ds - 1).bit_length() - 1)
+    if ds < 2 * kmax:              # room for the first shifted slice
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_q, 2 * kmax - ds, B), x.dtype)], 1)
+    k = kmax
+    while k >= 1:
+        shifted = jax.lax.slice(x, (0, k, 0), (n_q, 2 * k, B))
+        x = jnp.where((r & k)[None, None, :] > 0, shifted, x[:, :k])
+        k >>= 1
+    return _aligned_rows(x[:, 0], q, n_out)
+
+
 def _grid_offsets(params: FSKParams) -> np.ndarray:
     """The header-start search grid around the correlation peak (+1):
     consecutive integer offsets spanning one bit period plus a quarter
@@ -728,17 +761,17 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     body_bits = _body_coded_bits(payload_len, rs_parity, body_code)
     n_body_bytes = payload_len + 2 + rs_parity
     n_rows, B = csum.shape
-    # Same barrel alignment as the header stage: one contiguous
-    # window per channel, then the body grid is a static strided
-    # slice.  b_starts >= 0 always (the host zeroes invalid channels);
-    # the high clip engages only for channels whose body span exceeds
-    # the stream — already invalid under the host's mask (identical
-    # values for every channel it keeps).
+    # Strided phase-decomposed alignment: the body only reads every
+    # ds-th row of its window, so align the ds-times-smaller phase
+    # plane instead of the full (body_bits-1)*ds+1 rows (~6x less
+    # HBM traffic).  b_starts >= 0 always (the host zeroes invalid
+    # channels); the high clip engages only for channels whose body
+    # span exceeds the stream — already invalid under the host's mask
+    # (identical values for every channel it keeps).
     wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
     U = (body_bits - 1) * ds + 1
     base = jnp.clip(b_starts, 0, max(wsum.shape[0] - U, 0))
-    al = _aligned_rows(wsum, base, U)                  # [U, B]
-    b_llr = al[::ds].T                                 # [B, body]
+    b_llr = _aligned_strided(wsum, base, body_bits, ds).T  # [B, body]
     if body_code is not None:
         n_cw = body_bits // body_code.n
         bits_cw = _block_decode_bits(
@@ -908,6 +941,15 @@ def decode_frames_batch_async(params: FSKParams, samples,
 
     packed_dev = _decode_frames_fused(
         params, samples, payload_len, rs_parity, body_code)
+    try:
+        # start the device->host copy NOW: without it each finalizer's
+        # np.asarray pays a full blocking fetch round trip through the
+        # remote-chip tunnel (~28 ms, serialized across batches — the
+        # profiled fused program itself is ~18 ms, so a drain loop was
+        # FETCH-bound, not compute-bound)
+        packed_dev.copy_to_host_async()
+    except Exception:
+        pass  # platforms without async host copies fall back to fetch
 
     def finalize():
         packed = np.asarray(packed_dev)
