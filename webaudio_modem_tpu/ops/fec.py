@@ -152,23 +152,57 @@ def _viterbi_core(soft, n_bits: int):
     pm0 = jnp.full(batch_shape + (N_STATES,), neg, jnp.float32)
     pm0 = pm0.at[..., 0].set(0.0)                      # start in state 0
 
-    def step(pm, x_t):
-        # branch metric for arriving at s2 from predecessor h:
-        # correlation of the received pair with the transition's ±1
-        x0 = x_t[..., 0][..., None, None]              # [..., 1, 1]
-        x1 = x_t[..., 1][..., None, None]
-        bm = x0 * sgn[..., 0] + x1 * sgn[..., 1]       # [..., 64, 2]
-        cand0 = _rep2(pm[..., :half]) + bm[..., 0]     # h=0 predecessors
-        cand1 = _rep2(pm[..., half:]) + bm[..., 1]     # h=1 predecessors
-        dec = cand1 > cand0                            # winner h per s2
-        pm_new = jnp.where(dec, cand1, cand0)
-        # normalize to keep metrics bounded over long streams
-        pm_new = pm_new - jnp.max(pm_new, axis=-1, keepdims=True)
-        return pm_new, dec
+    # lean branch metrics: bm[s2, h] = x0*sgn0 + x1*sgn1 with sgn in
+    # {±1} is always ±(x0+x1) or ±(x0-x1), so precompute the two sums
+    # per lane and combine with CONSTANT {-1, 0, +1} masks — exactly
+    # one of (A, D) is nonzero per (s2, h), and multiplying by ±1 /
+    # reassociating identical-rounding adds keeps every path metric
+    # BIT-IDENTICAL to the former x0*sgn0 + x1*sgn1 form, at ~half the
+    # vector work per step (no [..., 64, 2] bm intermediate).
+    same = (sgn[..., 0] == sgn[..., 1])                # [64, 2]
+    A = jnp.where(same, sgn[..., 0], 0.0)              # weight of x0+x1
+    D = jnp.where(same, 0.0, sgn[..., 0])              # weight of x0-x1
+    A0, A1, D0, D1 = A[:, 0], A[:, 1], D[:, 0], D[:, 1]
 
-    # scan over time (time axis moved to the front)
+    # normalization keeps metrics bounded over arbitrarily long
+    # streams, but per-step it is two extra passes (a lane-axis max
+    # reduce + subtract) on a 38-step header decode whose metrics
+    # cannot leave f32's exact-comparison range — once per 16 steps is
+    # enough (subtracting a shared constant preserves every comparison
+    # in real arithmetic; the CRC gates any borderline f32 flip, and
+    # the farm batch/single-frame paths share this one implementation)
+    def step_of(norm):
+        def step(pm, x_t):
+            a = (x_t[..., 0] + x_t[..., 1])[..., None]  # [..., 1]
+            d = (x_t[..., 0] - x_t[..., 1])[..., None]
+            cand0 = _rep2(pm[..., :half]) + (a * A0 + d * D0)
+            cand1 = _rep2(pm[..., half:]) + (a * A1 + d * D1)
+            dec = cand1 > cand0                        # winner h per s2
+            pm_new = jnp.where(dec, cand1, cand0)
+            if norm:
+                pm_new = pm_new - jnp.max(pm_new, axis=-1, keepdims=True)
+            return pm_new, dec
+        return step
+
+    # scan over time (time axis moved to the front), unrolled in
+    # groups of 16 with one normalization per group — the XLA:TPU
+    # While-loop per-iteration overhead dominates a body this small
+    # (same measured effect as fsk_demod._UNROLL)
     x = jnp.moveaxis(soft, -2, 0)                      # [T, ..., 2]
-    pm, decs = jax.lax.scan(step, pm0, x)              # decs [T, ..., 64]
+    G = 16
+    pm = pm0
+    dec_groups = []
+    for g0 in range(0, T - T % G, G):
+        pm, decs_g = jax.lax.scan(step_of(False), pm, x[g0:g0 + G],
+                                  unroll=4)
+        pm = pm - jnp.max(pm, axis=-1, keepdims=True)
+        dec_groups.append(decs_g)
+    if T % G:
+        pm, decs_g = jax.lax.scan(step_of(False), pm, x[T - T % G:],
+                                  unroll=min(T % G, 4))
+        dec_groups.append(decs_g)
+    decs = dec_groups[0] if len(dec_groups) == 1 else \
+        jnp.concatenate(dec_groups, 0)                 # [T, ..., 64]
 
     # traceback from state 0 (trellis is flushed); the survivor-bit
     # read is a one-hot reduction, not take_along_axis — same
@@ -183,7 +217,8 @@ def _viterbi_core(soft, n_bits: int):
         prev = (state >> 1) | (h << (K - 2))
         return prev, bit
 
-    _, bits_rev = jax.lax.scan(back, state0, decs, reverse=True)
+    _, bits_rev = jax.lax.scan(back, state0, decs, reverse=True,
+                               unroll=min(T, 4))
     bits = jnp.moveaxis(bits_rev, 0, -1)               # [..., T]
     return bits[..., :n_bits]
 
