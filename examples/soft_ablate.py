@@ -221,11 +221,19 @@ def main() -> int:
     stages["crc"] = (jit_scan(crc_step), (hbits16, bbits))
 
     chosen = args.stages or list(stages)
+    # measure "full" first when requested (in any position) so the
+    # '% of full' column renders for every stage
+    if "full" in chosen:
+        chosen = ["full"] + [n for n in chosen if n != "full"]
     full_ms = None
     for name in chosen:
         fn, operands = stages[name]
         per = _slope(lambda c, n: fn(c, n, *operands), zero,
                      args.n_lo, args.n_hi, args.reps)
+        if per < 0:  # slope noise on fast hosts / tiny reps
+            print(f"{name:8s} {per * 1e3:8.3f} ms (negative slope — "
+                  "measurement noise; raise --reps/--n-hi)")
+            continue
         if name == "full":
             full_ms = per
         frac = f" ({per / full_ms * 100:5.1f}% of full)" if full_ms \

@@ -619,3 +619,103 @@ def test_soft_batch_device_resident_input_matches_numpy():
     out_dev = soft_fsk.decode_frames_batch(params, jnp.asarray(noisy), 9)
     assert out_np == out_dev
     assert out_np == payloads
+
+
+class TestViterbiNormSchedule:
+    """Differential pin of the grouped-normalization Viterbi against
+    the original per-step-normalization form (kept behind
+    ``per_step_norm=True``).
+
+    Deferring the max-subtraction to once per 16 ACS steps preserves
+    every path-metric comparison in exact arithmetic but can flip
+    f32-borderline ones — the repo contract (CLAUDE.md) is therefore
+    decoded-BYTE agreement at the CRC-gate level, asserted here across
+    SNRs from clean through the decode cliff into pure noise."""
+
+    @staticmethod
+    def _frames(rng, n_frames, payload_len):
+        payloads, planes = [], []
+        for _ in range(n_frames):
+            payload = bytes(rng.randint(0, 256, payload_len,
+                                        dtype=np.uint8))
+            body = fec.build_frame_body(payload)
+            planes.append(fec.bytes_to_bits(body).astype(np.float64)
+                          * 2 - 1)
+            payloads.append(payload)
+        return payloads, planes
+
+    @staticmethod
+    def _crc_gate(bits, payload_len):
+        """bits [8*(pl+2)] -> payload bytes iff the CRC16 gate passes
+        (exactly the soft path's acceptance rule)."""
+        body = fec.bits_to_bytes(bits)
+        payload = body[:payload_len]
+        from webaudio_modem_tpu.utils.crc16 import CRC16
+        if CRC16.calculate(payload) == ((body[payload_len] << 8)
+                                        | body[payload_len + 1]):
+            return payload
+        return None
+
+    def test_byte_agreement_at_crc_gate_across_snr(self):
+        rng = np.random.RandomState(42)
+        payload_len = 16
+        n_bits = 8 * (payload_len + 2)
+        payloads, planes = self._frames(rng, 24, payload_len)
+        # sigma sweep: clean, pre-cliff, ON the decode cliff
+        # (rate-1/2 K=7 soft decoding collapses around sigma ~0.9-1.1
+        # for ±1 symbols), and past it (pure-noise regime)
+        disagreements = 0
+        checked = 0
+        for sigma in (0.0, 0.5, 0.8, 1.0, 1.2, 2.0):
+            tx = np.stack([fec.conv_encode_bits(
+                ((p + 1) / 2).astype(np.uint8)).astype(np.float64) * 2 - 1
+                for p in planes])
+            rx = (tx + sigma * rng.standard_normal(tx.shape)) \
+                .astype(np.float32)
+            new = fec.viterbi_decode_soft(rx, n_bits)
+            old = fec.viterbi_decode_soft(rx, n_bits,
+                                          per_step_norm=True)
+            for k in range(len(payloads)):
+                pn = self._crc_gate(new[k], payload_len)
+                po = self._crc_gate(old[k], payload_len)
+                checked += 1
+                if (pn is None) != (po is None):
+                    # a borderline f32 flip turned a frame into a clean
+                    # erasure in one form — allowed, but must be rare
+                    disagreements += 1
+                    continue
+                # both gates pass (or both erase): payloads must agree
+                assert pn == po, (
+                    f"CRC-passing payloads diverge at sigma={sigma}")
+                if pn is not None and sigma <= 0.5:
+                    assert pn == payloads[k]
+        assert checked == 24 * 6
+        assert disagreements <= 3, (
+            f"{disagreements}/{checked} frames flipped CRC-gate status "
+            "between normalization schedules")
+
+    def test_clean_and_moderate_noise_bit_identical(self):
+        # away from f32-borderline ties the two schedules should be
+        # outright bit-identical (same comparisons, same winners)
+        rng = np.random.RandomState(7)
+        payload_len = 32
+        n_bits = 8 * (payload_len + 2)
+        _, planes = self._frames(rng, 8, payload_len)
+        tx = np.stack([fec.conv_encode_bits(
+            ((p + 1) / 2).astype(np.uint8)).astype(np.float64) * 2 - 1
+            for p in planes])
+        for sigma in (0.0, 0.3):
+            rx = (tx + sigma * rng.standard_normal(tx.shape)) \
+                .astype(np.float32)
+            new = fec.viterbi_decode_soft(rx, n_bits)
+            old = fec.viterbi_decode_soft(rx, n_bits,
+                                          per_step_norm=True)
+            np.testing.assert_array_equal(new, old)
+
+    def test_long_payload_grouped_form_roundtrips(self):
+        # payload lengths driving many 16-step groups + a remainder
+        # tail (the scan-of-groups restructuring's shape coverage)
+        rng = np.random.RandomState(3)
+        for size in (128, 255):
+            data = bytes(rng.randint(0, 256, size, dtype=np.uint8))
+            assert fec.decode_bytes(fec.encode_bytes(data), size) == data

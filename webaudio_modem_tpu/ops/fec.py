@@ -124,11 +124,21 @@ def conv_encode_bits_batch(bits: np.ndarray) -> np.ndarray:
     return coded
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _viterbi_core(soft, n_bits: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _viterbi_core(soft, n_bits: int, per_step_norm: bool = False):
     """soft: [..., n_bits + K - 1, 2] correlations (+1 ~ coded bit 1,
     -1 ~ coded bit 0; magnitude = confidence).  Returns decoded bits
-    [..., n_bits] (the flush bits are consumed, not returned)."""
+    [..., n_bits] (the flush bits are consumed, not returned).
+
+    ``per_step_norm=True`` selects the original normalize-every-step
+    schedule (one un-unrolled scan).  The default groups 16 ACS steps
+    per normalization: subtracting a shared constant preserves every
+    path-metric comparison in real arithmetic, but borderline f32
+    comparisons can flip — the differential test
+    (tests/transports/test_fec.py::TestViterbiNormSchedule) pins the
+    two forms to byte-level agreement at the CRC-gate level, which is
+    the contract every caller in this repo relies on (CLAUDE.md:
+    decoded-byte equality, not raw-bit identity)."""
     _, pred_np, pred_out_np = _tables()
     sgn = jnp.asarray(2.0 * pred_out_np - 1.0,
                       jnp.float32)                     # [64, 2, 2] ±1
@@ -189,20 +199,36 @@ def _viterbi_core(soft, n_bits: int):
     # While-loop per-iteration overhead dominates a body this small
     # (same measured effect as fsk_demod._UNROLL)
     x = jnp.moveaxis(soft, -2, 0)                      # [T, ..., 2]
-    G = 16
-    pm = pm0
-    dec_groups = []
-    for g0 in range(0, T - T % G, G):
-        pm, decs_g = jax.lax.scan(step_of(False), pm, x[g0:g0 + G],
-                                  unroll=4)
-        pm = pm - jnp.max(pm, axis=-1, keepdims=True)
-        dec_groups.append(decs_g)
-    if T % G:
-        pm, decs_g = jax.lax.scan(step_of(False), pm, x[T - T % G:],
-                                  unroll=min(T % G, 4))
-        dec_groups.append(decs_g)
-    decs = dec_groups[0] if len(dec_groups) == 1 else \
-        jnp.concatenate(dec_groups, 0)                 # [T, ..., 64]
+    if per_step_norm:                                  # original form
+        pm, decs = jax.lax.scan(step_of(True), pm0, x)
+    else:
+        # ONE outer scan over [T//G] groups (the earlier Python loop
+        # emitted T/16 separate scan ops + a T-length concat, so HLO
+        # size grew linearly with payload length — a compile-time tax
+        # on the compile-fragile CPU suite); per-group math is the
+        # identical inner scan + one normalization, so decoded bits
+        # are unchanged
+        G = 16
+        n_g, rem = divmod(T, G)
+
+        def group_step(pm, xg):                        # xg [G, ..., 2]
+            pm, decs_g = jax.lax.scan(step_of(False), pm, xg, unroll=4)
+            pm = pm - jnp.max(pm, axis=-1, keepdims=True)
+            return pm, decs_g
+
+        pm = pm0
+        dec_groups = []
+        if n_g:
+            xg = x[:n_g * G].reshape((n_g, G) + x.shape[1:])
+            pm, decs_g = jax.lax.scan(group_step, pm, xg)
+            dec_groups.append(
+                decs_g.reshape((n_g * G,) + decs_g.shape[2:]))
+        if rem:
+            pm, decs_g = jax.lax.scan(step_of(False), pm, x[n_g * G:],
+                                      unroll=min(rem, 4))
+            dec_groups.append(decs_g)
+        decs = dec_groups[0] if len(dec_groups) == 1 else \
+            jnp.concatenate(dec_groups, 0)             # [T, ..., 64]
 
     # traceback from state 0 (trellis is flushed); the survivor-bit
     # read is a one-hot reduction, not take_along_axis — same
@@ -223,12 +249,17 @@ def _viterbi_core(soft, n_bits: int):
     return bits[..., :n_bits]
 
 
-def viterbi_decode_soft(soft, n_bits: int) -> np.ndarray:
+def viterbi_decode_soft(soft, n_bits: int,
+                        per_step_norm: bool = False) -> np.ndarray:
     """Soft-decision Viterbi decode.
 
     soft: [..., 2*(n_bits+K-1)] interleaved coded-bit correlations
     (positive ~ 1, negative ~ 0) or already-paired [..., n+K-1, 2].
     Returns hard decoded bits [..., n_bits] (uint8).
+    ``per_step_norm`` selects the original normalize-every-step
+    schedule (see ``_viterbi_core``); outputs agree at the decoded-
+    byte / CRC-gate level, not necessarily bit-for-bit on pathological
+    noise.
     """
     soft = jnp.asarray(soft, jnp.float32)
     if soft.shape[-1] != 2:
@@ -238,7 +269,8 @@ def viterbi_decode_soft(soft, n_bits: int) -> np.ndarray:
         raise ValueError(
             f"need {expect} coded pairs for {n_bits} bits, got "
             f"{soft.shape[-2]}")
-    return np.asarray(_viterbi_core(soft, n_bits), np.uint8)
+    return np.asarray(_viterbi_core(soft, n_bits, per_step_norm),
+                      np.uint8)
 
 
 def viterbi_decode_bits(coded_bits, n_bits: int) -> np.ndarray:

@@ -948,7 +948,7 @@ def decode_frames_batch_async(params: FSKParams, samples,
         # profiled fused program itself is ~18 ms, so a drain loop was
         # FETCH-bound, not compute-bound)
         packed_dev.copy_to_host_async()
-    except Exception:
+    except (AttributeError, NotImplementedError):
         pass  # platforms without async host copies fall back to fetch
 
     def finalize():
