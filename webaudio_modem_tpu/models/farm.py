@@ -112,6 +112,9 @@ class ModemFarm:
         self.batch = batch
         self.mesh = mesh
         self._donate = donate
+        from webaudio_modem_tpu.utils.batch_guard import check_batch_shape
+
+        check_batch_shape(batch, type(self).__name__)
         if fsk_demod.AUTO_WARM_QUALITY:
             from webaudio_modem_tpu.models.psk import PSKConfig
 

@@ -226,6 +226,9 @@ class FarmHubBase:
     native drain."""
 
     def __init__(self, config, batch: int, quantum: int):
+        from webaudio_modem_tpu.utils.batch_guard import check_batch_shape
+
+        check_batch_shape(batch, type(self).__name__)
         self.config = config
         self.batch = batch
         self.quantum = quantum
