@@ -1212,6 +1212,20 @@ def _quality_calibration(params: FSKParams, family: str = "fsk"):
 # to keep suite timing deterministic.
 AUTO_WARM_QUALITY = True
 _warm_started = set()
+_warm_threads: list = []
+
+
+def _join_warm_threads() -> None:
+    """atexit: wait out in-flight background warms.  A daemon thread
+    still inside an XLA compile when the interpreter tears down takes
+    the whole process out with SIGABRT ("FATAL: exception not
+    rethrown" — pthread cancellation mid-C++-unwind), which turned
+    short-lived CLIs that construct a ModemFarm and exit immediately
+    into crash-on-exit.  Builds take O(100 ms); the timeout only
+    bounds pathological cases."""
+    for t in _warm_threads:
+        t.join(timeout=30)
+    _warm_threads.clear()
 
 
 def warm_quality_calibration(params: FSKParams, family: str = "fsk",
@@ -1245,8 +1259,14 @@ def warm_quality_calibration(params: FSKParams, family: str = "fsk",
                 # leave the lazy path to retry on the caller's thread
                 _warm_started.discard(key)
 
-        threading.Thread(target=_build, daemon=True,
-                         name="wam-quality-warm").start()
+        if not _warm_threads:
+            import atexit
+
+            atexit.register(_join_warm_threads)
+        t = threading.Thread(target=_build, daemon=True,
+                             name="wam-quality-warm")
+        _warm_threads.append(t)
+        t.start()
     else:
         _quality_calibration(params, family)
 
