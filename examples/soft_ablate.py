@@ -15,11 +15,13 @@ bench shape, B=2048 / payload 16 / T=16720):
   seq      sequential demod (Pallas kernel path)
   sync     sync correlation + peak argmax over the full stream
   cumsum   soft-LLR cumulative sum
-  hdr      _batch_header_stage (align + candidate Viterbi)
+  hdr      _batch_header_stage (align + score/prune + top-k Viterbi)
+  hdr_full _batch_header_stage with pruning off (all n_off candidates)
   body     _batch_body_stage (align + body Viterbi)
   align_h  _aligned_rows alone at the header window shape
   align_b  _aligned_rows alone at the body window shape
-  vit_h    header Viterbi alone (B x n_off candidates)
+  vit_h    header Viterbi alone (B x HEADER_TOP_K candidates)
+  vit_h_full  header Viterbi alone (B x n_off candidates)
   vit_b    body Viterbi alone
   crc      device CRC16 scans (header grid + body gate)
 
@@ -133,8 +135,11 @@ def main() -> int:
     base_b = jnp.asarray(rng.randint(0, n_ds - U_b, (K, B)), jnp.int32)
     bstarts = jnp.asarray(
         rng.randint(0, n_ds - (body_bits + 1) * ds, (K, B)), jnp.int32)
-    hllr = jnp.asarray(rng.randn(K, B * n_off, h_bits // 2, 2)
+    k_sel = soft_fsk.HEADER_TOP_K or n_off
+    hllr = jnp.asarray(rng.randn(K, B * k_sel, h_bits // 2, 2)
                        .astype(np.float32))
+    hllr_full = jnp.asarray(rng.randn(K, B * n_off, h_bits // 2, 2)
+                            .astype(np.float32))
     bllr = jnp.asarray(rng.randn(K, B, body_bits // 2, 2)
                        .astype(np.float32))
     hbits16 = jnp.asarray(rng.randint(0, 2, (K, B, n_off, 16)),
@@ -182,11 +187,21 @@ def main() -> int:
     stages["cumsum"] = (jit_scan(cumsum_step), (softs_s,))
 
     def hdr_step(i, bstk, sstk):
-        t_peak, peak_ok, csum, starts, headers = \
-            soft_fsk._batch_header_stage(params, bstk[i], sstk[i])
+        t_peak, peak_ok, csum, starts, headers, valid = \
+            soft_fsk._batch_header_stage(params, bstk[i], sstk[i],
+                                         body_bits,
+                                         soft_fsk.HEADER_TOP_K)
         return (t_peak.sum() + csum[-1].sum()
                 + headers.astype(jnp.int32).sum()).astype(jnp.float32)
     stages["hdr"] = (jit_scan(hdr_step), (bits_s, softs_s))
+
+    def hdr_full_step(i, bstk, sstk):
+        t_peak, peak_ok, csum, starts, headers, valid = \
+            soft_fsk._batch_header_stage(params, bstk[i], sstk[i],
+                                         body_bits, 0)
+        return (t_peak.sum() + csum[-1].sum()
+                + headers.astype(jnp.int32).sum()).astype(jnp.float32)
+    stages["hdr_full"] = (jit_scan(hdr_full_step), (bits_s, softs_s))
 
     def body_step(i, cstk, bstk):
         bodies = soft_fsk._batch_body_stage(params, cstk[i], bstk[i],
@@ -208,6 +223,7 @@ def main() -> int:
         return fec._viterbi_core(
             stk[i], 8 * soft_fsk.HEADER_PLAIN).astype(jnp.float32).sum()
     stages["vit_h"] = (jit_scan(vit_h_step), (hllr,))
+    stages["vit_h_full"] = (jit_scan(vit_h_step), (hllr_full,))
 
     def vit_b_step(i, stk):
         return fec._viterbi_core(

@@ -150,3 +150,71 @@ class TestFusedDecode:
         assert out[3] is None
         for i in (0, 1, 2, 4, 5, 6, 7):
             assert out[i] == payloads[i]
+
+
+class TestHeaderTopK:
+    """Differential pin of the alignment-score candidate pruning
+    (soft_fsk.HEADER_TOP_K) against the full-grid header search.
+
+    The pruned path decodes only the top-k grid offsets by windowed-
+    |LLR| coherence; the contract is payload-byte agreement per
+    channel — WHICH offset validates may differ (best-scoring vs
+    first-in-grid-order), both being CRC-checked headers of the same
+    frame."""
+
+    @staticmethod
+    def _batch(rng, n, payload_len, sigma):
+        params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+        payloads = [bytes(rng.randint(0, 256, payload_len,
+                                      dtype=np.uint8))
+                    for _ in range(n)]
+        sigs = np.asarray(soft_fsk.encode_frames_batch(params, payloads))
+        noisy = (sigs + sigma * rng.standard_normal(sigs.shape)) \
+            .astype(np.float32)
+        return params, payloads, noisy
+
+    @staticmethod
+    def _decode(params, noisy, payload_len, top_k):
+        packed = np.asarray(soft_fsk._decode_frames_fused(
+            params, jnp.asarray(noisy), payload_len, top_k=top_k))
+        return [bytes(packed[b, :payload_len])
+                if packed[b, payload_len] else None
+                for b in range(len(packed))]
+
+    def test_clean_and_moderate_noise_payloads_identical(self):
+        rng = np.random.RandomState(11)
+        for sigma in (0.0, 0.05):
+            params, payloads, noisy = self._batch(rng, 16, 9, sigma)
+            pruned = self._decode(params, noisy, 9, None)
+            full = self._decode(params, noisy, 9, 0)
+            assert pruned == payloads
+            assert full == payloads
+
+    def test_near_cliff_success_parity(self):
+        # heavy noise: some frames erase in both forms; the pruned
+        # form must not lose more than a hair vs the full grid, and
+        # every successful decode must be the true payload
+        rng = np.random.RandomState(23)
+        params, payloads, noisy = self._batch(rng, 48, 9, 0.45)
+        pruned = self._decode(params, noisy, 9, None)
+        full = self._decode(params, noisy, 9, 0)
+        ok_p = sum(p == t for p, t in zip(pruned, payloads))
+        ok_f = sum(p == t for p, t in zip(full, payloads))
+        for got, true in ((pruned, payloads), (full, payloads)):
+            for g, t in zip(got, true):
+                assert g is None or g == t  # CRC gate: no wrong bytes
+        # both forms must be in the partially-decoding regime for the
+        # comparison to mean anything
+        assert 0 < ok_f
+        assert ok_p >= ok_f - 2, (ok_p, ok_f)
+
+    def test_valid_mask_gates_pruning(self):
+        # a stream too short for any body span: every candidate is
+        # invalid, pruning must yield all-None (not garbage ranks)
+        rng = np.random.RandomState(5)
+        params, payloads, noisy = self._batch(rng, 4, 9, 0.0)
+        T_hdr = (soft_fsk.HEADER_CODED_BITS + 8) \
+            * params.ds_samples_per_bit * params.downsample_ratio
+        short = noisy[:, :T_hdr]
+        out = soft_fsk.decode_frames_batch(params, short, 9)
+        assert out == [None] * 4

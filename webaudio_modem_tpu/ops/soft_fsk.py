@@ -684,11 +684,52 @@ def _grid_offsets(params: FSKParams) -> np.ndarray:
     return np.arange(-ds - ds // 4, ds // 4 + 1)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _batch_header_stage(params: FSKParams, bits, softs):
-    """Device half 1: sync peak + every (channel x offset) header
-    candidate decoded by ONE batched Viterbi.  Everything stays in HBM;
-    only the outputs (small int planes) cross to the host."""
+# How many header-grid candidates per channel survive the alignment
+# score and reach the (expensive) candidate Viterbi.  The full grid is
+# n_off = 1.5 bit periods of consecutive offsets (31 at the default
+# config) and the candidate Viterbi over B x n_off lanes measured 65%
+# of the whole fused decode.  The aligned offsets maximize the
+# windowed-|LLR| coherence score (misaligned windows straddle bit
+# transitions and cancel), but near the decode cliff the score
+# landscape is flat + noisy while decodability spans a ~15-offset
+# contiguous run — empirically (rank probe at sigma=0.45, B=48) the
+# best-scoring decodable offset ranks <= 7, so top-8 keeps frame
+# success identical to the full grid at ~1/4 the trellis work; top-4
+# lost 10/36 frames there.  0 = decode the full grid.
+HEADER_TOP_K = 8
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _batch_header_stage(params: FSKParams, bits, softs,
+                        body_bits_n: int = 0, top_k: int = 0):
+    """Device half 1: sync peak + header-candidate selection + ONE
+    batched Viterbi over the surviving (channel x offset) candidates.
+    Everything stays in HBM; only the outputs (small int planes) cross
+    to the host.
+
+    ``body_bits_n`` (static) lets the stage compute each candidate's
+    span-validity mask (header AND body inside the stream) so that
+    ``top_k`` pruning never ranks an out-of-span candidate above a
+    decodable one.  Returns (t_peak, peak_ok, csum, starts, headers,
+    valid) with the candidate axis of length ``min(top_k, n_off)``
+    (or n_off when top_k == 0), candidates ordered by DESCENDING
+    alignment score.
+
+    Pruning rationale: the grid search exists because the bit-grid
+    origin relative to the correlation peak is unknown (group delay +
+    the correlator's j==0 quirk — see decode_frame_signal).  But the
+    alignment QUALITY of each offset is measurable without decoding:
+    a bit-aligned LLR window integrates one coded bit coherently
+    (|sum| ~ ds x amplitude) while a misaligned window straddles a
+    transition and partially cancels (coded header bits are pseudo-
+    random, ~50% transitions).  score(o) = sum_j |llr[o, j]| therefore
+    peaks at the true grid origin; decoding only the top-k scoring
+    offsets cuts the candidate-Viterbi lanes by n_off/k while keeping
+    the offsets that could decode at all.  Selection changes WHICH
+    passing offset is chosen (best-scoring instead of first-in-grid-
+    order); both are CRC-validated headers of the same frame, and the
+    payload byte contract is unchanged (differential test:
+    tests/transports/test_soft_batch_internals.py::TestHeaderTopK)."""
     n_ds, B = bits.shape
     W = params.sync_window
     ds = params.ds_samples_per_bit
@@ -716,6 +757,9 @@ def _batch_header_stage(params: FSKParams, bits, softs):
          jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
 
     starts = t_peak[:, None] + 1 + offsets[None, :]    # [B, n_off]
+    valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
+        peak_ok[:, None] & \
+        (starts + (h_bits + body_bits_n) * ds <= n_ds)
 
     # Candidate LLRs via ONE aligned window per channel: offsets are
     # consecutive ints, so every (offset, grid-bit) read lands inside
@@ -725,7 +769,7 @@ def _batch_header_stage(params: FSKParams, bits, softs):
     # offsets reach below the stream start (t_peak + 1 + off_min < 0);
     # the high clip engages only when even the last candidate's header
     # span exceeds the stream, in which case no candidate passes the
-    # host's `valid` mask (it also requires the BODY span in range).
+    # `valid` mask (it also requires the BODY span in range).
     # For every candidate the host keeps, the values are IDENTICAL to
     # the former per-element gather, which XLA:TPU serialized
     # (measured 140 ms at B=2048 — 20x the Viterbi it fed).
@@ -740,11 +784,38 @@ def _batch_header_stage(params: FSKParams, bits, softs):
                        (ds, 1))
          for o in range(n_off)], axis=0)               # [n_off, h, B]
     h_llr = jnp.moveaxis(h_llr, -1, 0)                 # [B, n_off, h]
+
+    if top_k and top_k < n_off:
+        # alignment-coherence score; invalid candidates rank last so
+        # pruning can only drop candidates the downstream mask would
+        # have discarded anyway
+        score = jnp.sum(jnp.abs(h_llr), axis=-1)       # [B, n_off]
+        score = jnp.where(valid, score, -jnp.inf)
+        iota_off = jnp.arange(n_off)
+        sc = score
+        ohs = []
+        for _ in range(top_k):   # iterative argmax: no per-lane gather
+            idx = jnp.argmax(sc, axis=-1)
+            oh = iota_off[None, :] == idx[:, None]     # [B, n_off]
+            ohs.append(oh)
+            sc = jnp.where(oh, -jnp.inf, sc)
+        onehot = jnp.stack(ohs, 1)                     # [B, k, n_off]
+        # one-hot contraction instead of a per-lane gather (the same
+        # no-scalar-gather rule as everywhere in this file)
+        h_llr = jnp.einsum("bko,boh->bkh",
+                           onehot.astype(jnp.float32), h_llr)
+        starts = jnp.sum(onehot * starts[:, None, :], axis=-1) \
+            .astype(jnp.int32)                         # [B, k]
+        valid = jnp.any(onehot & valid[:, None, :], axis=-1)
+        n_sel = top_k
+    else:
+        n_sel = n_off
+
     headers = fec._viterbi_core(
-        h_llr.reshape(B * n_off, h_bits // 2, 2),
-        8 * HEADER_PLAIN).reshape(B, n_off, 8 * HEADER_PLAIN)
+        h_llr.reshape(B * n_sel, h_bits // 2, 2),
+        8 * HEADER_PLAIN).reshape(B, n_sel, 8 * HEADER_PLAIN)
     return (t_peak, peak_ok, csum, starts,
-            headers.astype(jnp.uint8))
+            headers.astype(jnp.uint8), valid)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
@@ -815,9 +886,10 @@ def _crc16_bits_device(bits):
     return crc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
-                         rs_parity: int = 0, body_code=None):
+                         rs_parity: int = 0, body_code=None,
+                         top_k: Optional[int] = None):
     """The whole farm decode as ONE device program: seq demod ->
     header stage -> header CRC/LEN selection -> body stage -> body CRC
     gate, with the selection logic (formerly numpy between the two
@@ -827,28 +899,28 @@ def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
     through the remote-chip tunnel the staged form's 3 dispatches + 5
     transfers cost ~200 ms of pure round trips at B=2048.
 
-    Selection is branch-free but byte-identical to the staged form:
-    argmax-of-bool picks the first validating grid offset, exactly as
-    ``hdr_ok.argmax(axis=1)`` did on the host."""
+    Selection is branch-free: the header stage ranks grid offsets by
+    alignment-coherence score and keeps the top ``HEADER_TOP_K``
+    (65% of this program was Viterbi-decoding all 31 offsets);
+    argmax-of-bool then picks the best-scoring validating candidate.
+    The payload byte contract matches the full-grid form (differential
+    test TestHeaderTopK)."""
     B = samples.shape[0]
     ds = params.ds_samples_per_bit
     h_bits = HEADER_CODED_BITS
-    n_off = len(_grid_offsets(params))
 
     state = fsk_demod.init_state(params, batch=B)
     _, _, _, _, bits, _, softs = fsk_demod._sequential_stage(
         params, 0, state, samples)
-    n_ds = bits.shape[0]
-
-    t_peak, peak_ok, csum, starts, headers = _batch_header_stage(
-        params, bits, softs)
 
     body_bits_n = _body_coded_bits(payload_len, rs_parity, body_code)
-    valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
-        peak_ok[:, None] & \
-        (starts + (h_bits + body_bits_n) * ds <= n_ds)
+    if top_k is None:
+        top_k = HEADER_TOP_K
+    t_peak, peak_ok, csum, starts, headers, valid = _batch_header_stage(
+        params, bits, softs, body_bits_n, top_k)
+    n_sel = headers.shape[1]
 
-    hb = headers.astype(jnp.int32)                     # [B, n_off, 32]
+    hb = headers.astype(jnp.int32)                     # [B, n_sel, 32]
     w16 = (1 << jnp.arange(15, -1, -1)).astype(jnp.int32)
     ln = jnp.sum(hb[..., :16] * w16, -1)
     crc = jnp.sum(hb[..., 16:32] * w16, -1)
@@ -856,8 +928,8 @@ def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
         (_crc16_bits_device(hb[..., :16]) == crc)
 
     found = jnp.any(hdr_ok, axis=1)
-    chosen = jnp.argmax(hdr_ok, axis=1)                # first True
-    oh = jnp.arange(n_off)[None, :] == chosen[:, None]
+    chosen = jnp.argmax(hdr_ok, axis=1)   # first True = best-scoring
+    oh = jnp.arange(n_sel)[None, :] == chosen[:, None]
     st = jnp.sum(jnp.where(oh, starts, 0), axis=1)     # starts[chosen]
     b_starts = jnp.where(found, st + h_bits * ds, 0).astype(jnp.int32)
 
