@@ -699,39 +699,22 @@ def _grid_offsets(params: FSKParams) -> np.ndarray:
 HEADER_TOP_K = 8
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _batch_header_stage(params: FSKParams, bits, softs,
-                        body_bits_n: int = 0, top_k: int = 0):
-    """Device half 1: sync peak + header-candidate selection + ONE
-    batched Viterbi over the surviving (channel x offset) candidates.
-    Everything stays in HBM; only the outputs (small int planes) cross
-    to the host.
+def _candidate_headers(params: FSKParams, csum, t_peak, gate,
+                       body_bits_n: int, top_k: int):
+    """Shared header-candidate machinery: grid starts around ``t_peak``
+    (stream-relative, [B] int32), barrel-aligned candidate LLR windows,
+    optional top-k alignment-score pruning, and ONE batched Viterbi.
 
-    ``body_bits_n`` (static) lets the stage compute each candidate's
-    span-validity mask (header AND body inside the stream) so that
-    ``top_k`` pruning never ranks an out-of-span candidate above a
-    decodable one.  Returns (t_peak, peak_ok, csum, starts, headers,
-    valid) with the candidate axis of length ``min(top_k, n_off)``
+    ``csum`` is the zero-prefixed [n_ds + 1, B] f32 cumsum of the soft
+    stream; ``gate`` [B] bool folds the caller's per-channel validity
+    (peak-over-threshold for the window decoder, active-event mask for
+    the blind receiver) into the candidate mask.  Returns
+    (starts, headers, valid) with the candidate axis min(top_k, n_off)
     (or n_off when top_k == 0), candidates ordered by DESCENDING
-    alignment score.
-
-    Pruning rationale: the grid search exists because the bit-grid
-    origin relative to the correlation peak is unknown (group delay +
-    the correlator's j==0 quirk — see decode_frame_signal).  But the
-    alignment QUALITY of each offset is measurable without decoding:
-    a bit-aligned LLR window integrates one coded bit coherently
-    (|sum| ~ ds x amplitude) while a misaligned window straddles a
-    transition and partially cancels (coded header bits are pseudo-
-    random, ~50% transitions).  score(o) = sum_j |llr[o, j]| therefore
-    peaks at the true grid origin; decoding only the top-k scoring
-    offsets cuts the candidate-Viterbi lanes by n_off/k while keeping
-    the offsets that could decode at all.  Selection changes WHICH
-    passing offset is chosen (best-scoring instead of first-in-grid-
-    order); both are CRC-validated headers of the same frame, and the
-    payload byte contract is unchanged (differential test:
-    tests/transports/test_soft_batch_internals.py::TestHeaderTopK)."""
-    n_ds, B = bits.shape
-    W = params.sync_window
+    alignment score when pruned.  Called under an enclosing jit.
+    """
+    n_ds = csum.shape[0] - 1
+    B = csum.shape[1]
     ds = params.ds_samples_per_bit
     h_bits = HEADER_CODED_BITS
     offsets_np = _grid_offsets(params)
@@ -739,26 +722,9 @@ def _batch_header_stage(params: FSKParams, bits, softs,
     pad_lo = -int(offsets_np[0])         # static: grid reaches this
     offsets = jnp.asarray(offsets_np, jnp.int32)  # far below the peak
 
-    ext = jnp.concatenate([jnp.zeros((W, B), bits.dtype), bits], 0)
-    ratios = fsk_demod._sync_ratios(params, ext)       # [n_ds, B]
-    t_peak = jnp.argmax(ratios, axis=0).astype(jnp.int32)
-    peak = jnp.take_along_axis(ratios, t_peak[None, :], axis=0)[0]
-    peak_ok = peak > jnp.float32(params.config.sync_threshold)
-
-    # float32 cumsum (the per-signal host path uses f64): the LLR
-    # window sums are differences of csum ds apart, so the error is
-    # bounded by f32 eps x |csum| — softs are zero-mean under noise
-    # (random-walk ~sqrt(n_ds)) and <= n_ds/2 in the all-one-tone
-    # worst case, keeping window-sum error <= ~0.1% of its magnitude
-    # even at maximum frame length.  TPU f64 would be emulated and
-    # slow; CRC gates any borderline flip as a clean None.
-    csum = jnp.concatenate(
-        [jnp.zeros((1, B), jnp.float32),
-         jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
-
     starts = t_peak[:, None] + 1 + offsets[None, :]    # [B, n_off]
     valid = (starts >= 0) & (starts + h_bits * ds <= n_ds) & \
-        peak_ok[:, None] & \
+        gate[:, None] & \
         (starts + (h_bits + body_bits_n) * ds <= n_ds)
 
     # Candidate LLRs via ONE aligned window per channel: offsets are
@@ -814,8 +780,63 @@ def _batch_header_stage(params: FSKParams, bits, softs,
     headers = fec._viterbi_core(
         h_llr.reshape(B * n_sel, h_bits // 2, 2),
         8 * HEADER_PLAIN).reshape(B, n_sel, 8 * HEADER_PLAIN)
-    return (t_peak, peak_ok, csum, starts,
-            headers.astype(jnp.uint8), valid)
+    return starts, headers.astype(jnp.uint8), valid
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _batch_header_stage(params: FSKParams, bits, softs,
+                        body_bits_n: int = 0, top_k: int = 0):
+    """Device half 1: sync peak + header-candidate selection + ONE
+    batched Viterbi over the surviving (channel x offset) candidates.
+    Everything stays in HBM; only the outputs (small int planes) cross
+    to the host.
+
+    ``body_bits_n`` (static) lets the stage compute each candidate's
+    span-validity mask (header AND body inside the stream) so that
+    ``top_k`` pruning never ranks an out-of-span candidate above a
+    decodable one.  Returns (t_peak, peak_ok, csum, starts, headers,
+    valid) with the candidate axis of length ``min(top_k, n_off)``
+    (or n_off when top_k == 0), candidates ordered by DESCENDING
+    alignment score.
+
+    Pruning rationale: the grid search exists because the bit-grid
+    origin relative to the correlation peak is unknown (group delay +
+    the correlator's j==0 quirk — see decode_frame_signal).  But the
+    alignment QUALITY of each offset is measurable without decoding:
+    a bit-aligned LLR window integrates one coded bit coherently
+    (|sum| ~ ds x amplitude) while a misaligned window straddles a
+    transition and partially cancels (coded header bits are pseudo-
+    random, ~50% transitions).  score(o) = sum_j |llr[o, j]| therefore
+    peaks at the true grid origin; decoding only the top-k scoring
+    offsets cuts the candidate-Viterbi lanes by n_off/k while keeping
+    the offsets that could decode at all.  Selection changes WHICH
+    passing offset is chosen (best-scoring instead of first-in-grid-
+    order); both are CRC-validated headers of the same frame, and the
+    payload byte contract is unchanged (differential test:
+    tests/transports/test_soft_batch_internals.py::TestHeaderTopK)."""
+    n_ds, B = bits.shape
+    W = params.sync_window
+
+    ext = jnp.concatenate([jnp.zeros((W, B), bits.dtype), bits], 0)
+    ratios = fsk_demod._sync_ratios(params, ext)       # [n_ds, B]
+    t_peak = jnp.argmax(ratios, axis=0).astype(jnp.int32)
+    peak = jnp.take_along_axis(ratios, t_peak[None, :], axis=0)[0]
+    peak_ok = peak > jnp.float32(params.config.sync_threshold)
+
+    # float32 cumsum (the per-signal host path uses f64): the LLR
+    # window sums are differences of csum ds apart, so the error is
+    # bounded by f32 eps x |csum| — softs are zero-mean under noise
+    # (random-walk ~sqrt(n_ds)) and <= n_ds/2 in the all-one-tone
+    # worst case, keeping window-sum error <= ~0.1% of its magnitude
+    # even at maximum frame length.  TPU f64 would be emulated and
+    # slow; CRC gates any borderline flip as a clean None.
+    csum = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.float32),
+         jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
+
+    starts, headers, valid = _candidate_headers(
+        params, csum, t_peak, peak_ok, body_bits_n, top_k)
+    return (t_peak, peak_ok, csum, starts, headers, valid)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
@@ -868,6 +889,56 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     return bodies.astype(jnp.uint8)
 
 
+def _select_candidate(headers, starts, valid, payload_len=None,
+                      max_len=None):
+    """LEN/CRC header selection over the candidate axis (device).
+
+    ``headers`` [B, n_sel, 32] uint8 decoded header bits,
+    ``starts`` [B, n_sel], ``valid`` [B, n_sel].  Candidates must pass
+    their own CRC16; ``payload_len`` (window decoder: all frames share
+    one length) or ``max_len`` (blind receiver: length comes FROM the
+    header, bounded to keep the per-length decode set finite) further
+    gate the LEN field.  Returns (found [B] bool, ln [B] i32 — the
+    selected candidate's decoded length, 0 when not found, st [B] i32 —
+    its grid start).  argmax-of-bool keeps the first passing candidate
+    (grid order unpruned, best-alignment-score order pruned)."""
+    n_sel = headers.shape[1]
+    hb = headers.astype(jnp.int32)                     # [B, n_sel, 32]
+    w16 = (1 << jnp.arange(15, -1, -1)).astype(jnp.int32)
+    ln = jnp.sum(hb[..., :16] * w16, -1)
+    crc = jnp.sum(hb[..., 16:32] * w16, -1)
+    ok = valid & (_crc16_bits_device(hb[..., :16]) == crc)
+    if payload_len is not None:
+        ok = ok & (ln == payload_len)
+    if max_len is not None:
+        ok = ok & (ln <= max_len)
+    found = jnp.any(ok, axis=1)
+    chosen = jnp.argmax(ok, axis=1)                    # first True
+    oh = jnp.arange(n_sel)[None, :] == chosen[:, None]
+    st = jnp.sum(jnp.where(oh, starts, 0), axis=1)     # starts[chosen]
+    ln_sel = jnp.sum(jnp.where(oh & ok, ln, 0), axis=1)
+    return found, ln_sel.astype(jnp.int32), st.astype(jnp.int32)
+
+
+def _pack_bodies(bodies, payload_len: int, found):
+    """Body CRC gate + packing (device): decoded body bits
+    [B, 8*(payload_len+2)] -> ONE [B, payload_len + 1] uint8 plane
+    (payload bytes + ok flag column), ok = ``found`` AND the frame's
+    CRC16 over the payload bytes matches its trailing CRC bytes."""
+    B = bodies.shape[0]
+    bi = bodies.astype(jnp.int32)
+    w8 = (1 << jnp.arange(7, -1, -1)).astype(jnp.int32)
+    body_bytes = jnp.sum(bi.reshape(B, payload_len + 2, 8) * w8, -1)
+    bcrc = (body_bytes[:, payload_len] << 8) | \
+        body_bytes[:, payload_len + 1]
+    body_ok = found & (_crc16_bits_device(bi[:, :8 * payload_len])
+                       == bcrc)
+    packed = jnp.concatenate(
+        [body_bytes[:, :payload_len],
+         body_ok[:, None].astype(jnp.int32)], axis=1)
+    return packed.astype(jnp.uint8)
+
+
 def _crc16_bits_device(bits):
     """CRC-16-CCITT-FALSE over an MSB-first bit stream, on device.
 
@@ -918,32 +989,14 @@ def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
         top_k = HEADER_TOP_K
     t_peak, peak_ok, csum, starts, headers, valid = _batch_header_stage(
         params, bits, softs, body_bits_n, top_k)
-    n_sel = headers.shape[1]
 
-    hb = headers.astype(jnp.int32)                     # [B, n_sel, 32]
-    w16 = (1 << jnp.arange(15, -1, -1)).astype(jnp.int32)
-    ln = jnp.sum(hb[..., :16] * w16, -1)
-    crc = jnp.sum(hb[..., 16:32] * w16, -1)
-    hdr_ok = valid & (ln == payload_len) & \
-        (_crc16_bits_device(hb[..., :16]) == crc)
-
-    found = jnp.any(hdr_ok, axis=1)
-    chosen = jnp.argmax(hdr_ok, axis=1)   # first True = best-scoring
-    oh = jnp.arange(n_sel)[None, :] == chosen[:, None]
-    st = jnp.sum(jnp.where(oh, starts, 0), axis=1)     # starts[chosen]
+    found, _, st = _select_candidate(headers, starts, valid,
+                                     payload_len=payload_len)
     b_starts = jnp.where(found, st + h_bits * ds, 0).astype(jnp.int32)
 
     bodies = _batch_body_stage(params, csum, b_starts, payload_len,
                                rs_parity, body_code)   # [B, 8*(pl+2)]
-    bi = bodies.astype(jnp.int32)
-    w8 = (1 << jnp.arange(7, -1, -1)).astype(jnp.int32)
-    body_bytes = jnp.sum(bi.reshape(B, payload_len + 2, 8) * w8, -1)
-    bcrc = (body_bytes[:, payload_len] << 8) | body_bytes[:, payload_len + 1]
-    body_ok = found & (_crc16_bits_device(bi[:, :8 * payload_len]) == bcrc)
-    packed = jnp.concatenate(
-        [body_bytes[:, :payload_len],
-         body_ok[:, None].astype(jnp.int32)], axis=1)
-    return packed.astype(jnp.uint8)
+    return _pack_bodies(bodies, payload_len, found)
 
 
 def decode_frames_batch(params: FSKParams, samples,
