@@ -18,6 +18,13 @@ coding):
 
     python examples/farm_endurance.py --soft --batch 1024 --rounds 3
 
+``--blind`` (implies the soft wire) swaps in the fully blind receive
+path (runtime/soft_hub.BlindSoftFarmHub): frames are ACQUIRED by the
+streaming sync scan and lengths read from decoded headers — no playout
+knowledge reaches RX:
+
+    python examples/farm_endurance.py --blind --batch 1024 --rounds 3
+
 Prints per-round results, per-quantum host time (from the metrics
 timers), and a final ALL OK / MISMATCH verdict with RSS.  Exits
 non-zero on any payload mismatch.
@@ -46,7 +53,8 @@ def _rss_mb() -> float:
 async def run(batch: int, rounds: int, payload_size: int,
               noise_power: float, quantum: int, ring_quanta: int,
               timeout_ms: float, soft: bool = False,
-              rs_parity: int = 0, body: str = "") -> int:
+              rs_parity: int = 0, body: str = "",
+              blind: bool = False) -> int:
     import jax
 
     # Persistent compile cache ONLY for the (remote-compiled) TPU
@@ -71,6 +79,7 @@ async def run(batch: int, rounds: int, payload_size: int,
     from webaudio_modem_tpu.utils.trace import metrics
 
     chan = make_device_awgn(noise_power) if noise_power else None
+    soft = soft or blind
     if soft:
         from webaudio_modem_tpu.models.config import FSKParams
         from webaudio_modem_tpu.ops import soft_fsk
@@ -90,16 +99,24 @@ async def run(batch: int, rounds: int, payload_size: int,
         params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
         need = -(-soft_fsk.frame_signal_length(
             params, 133, rs_parity, body_code) // quantum) + 2
-        hub = SoftFarmHub(
+        hub_cls = SoftFarmHub
+        hub_kwargs = {}
+        if blind:
+            from webaudio_modem_tpu.runtime.soft_hub import \
+                BlindSoftFarmHub
+            hub_cls = BlindSoftFarmHub
+            hub_kwargs["max_payload"] = 160
+        hub = hub_cls(
             DEFAULT_FSK_CONFIG, batch, quantum=quantum,
             ring_quanta=max(ring_quanta, need),
             device_channel_fn=chan, rs_parity=rs_parity,
-            body_code=body_code)
+            body_code=body_code, **hub_kwargs)
     else:
         hub = DeviceFarmHub(
             DEFAULT_FSK_CONFIG, batch, quantum=quantum,
             ring_quanta=ring_quanta, device_channel_fn=chan)
-    kind = (f"soft-FEC (rs_parity={rs_parity}, body={body or 'conv'})"
+    kind = (f"{'BLIND ' if blind else ''}soft-FEC "
+            f"(rs_parity={rs_parity}, body={body or 'conv'})"
             if soft else "hard-UART")
     print(f"{batch} concurrent XModem sessions over the {kind} wire, "
           f"{payload_size} B payload, "
@@ -201,6 +218,9 @@ def main() -> int:
     p.add_argument("--soft", action="store_true",
                    help="run over the soft-FEC wire "
                         "(runtime/soft_hub.SoftFarmHub)")
+    p.add_argument("--blind", action="store_true",
+                   help="soft wire with the fully blind receive path "
+                        "(runtime/soft_hub.BlindSoftFarmHub)")
     p.add_argument("--rs-parity", type=int, default=0,
                    help="soft wire: concatenated RS parity symbols")
     p.add_argument("--body", default="",
@@ -210,7 +230,8 @@ def main() -> int:
     return asyncio.run(run(args.batch, args.rounds, args.payload,
                            args.noise, args.quantum, args.ring_quanta,
                            args.timeout_ms, soft=args.soft,
-                           rs_parity=args.rs_parity, body=args.body))
+                           rs_parity=args.rs_parity, body=args.body,
+                           blind=args.blind))
 
 
 if __name__ == "__main__":

@@ -516,6 +516,13 @@ class BlindSoftBatchReceiver:
 
     # -- draining -------------------------------------------------------------
 
+    def has_work(self) -> bool:
+        """Host-visible in-flight decode work, WITHOUT a device sync
+        (an event still open on device is not counted — it closes
+        within two feeds, which any pump's idle grace covers)."""
+        return bool(self._events or self._pend_hdr or self._body_groups
+                    or self._pend_body or any(self._fifo))
+
     def _pending(self) -> bool:
         """In-flight work check for ``flush`` — call ``_collect_events``
         first so the newest detector emits are accounted (the detect

@@ -13,4 +13,5 @@ from webaudio_modem_tpu.runtime.farm_channel import (  # noqa: F401
     FarmLoopbackHub,
 )
 from webaudio_modem_tpu.runtime.device_hub import DeviceFarmHub  # noqa: F401
-from webaudio_modem_tpu.runtime.soft_hub import SoftFarmHub  # noqa: F401
+from webaudio_modem_tpu.runtime.soft_hub import (  # noqa: F401
+    BlindSoftFarmHub, SoftFarmHub)

@@ -275,3 +275,130 @@ class SoftFarmHub(RingHubBase):
             "pending_decodes": {s: len(self._pending_dec[s])
                                 for s in ("a", "b")},
         }
+
+
+class BlindSoftFarmHub(RingHubBase):
+    """Farm-scale ARQ over the soft-FEC wire with a fully BLIND
+    receive path: RX never sees the hub's playout bookkeeping.
+
+    ``SoftFarmHub`` above schedules one window decode per transmission
+    from its own TX records (recovery inside the window is blind, but
+    a real receiver would not know the window).  This hub instead runs
+    ``ops/soft_blind.BlindSoftBatchReceiver`` per direction: every
+    quantum the wire plays is CONSUMED from the ring (sliced + zeroed,
+    exactly the hard hub's pump contract) and fed to the streaming
+    receiver, which discovers sync peaks, reads payload lengths from
+    the decoded headers, and delivers payload bytes in per-channel
+    temporal order — the reference's acquisition model
+    (/root/reference/src/modems/fsk.ts:297-315) at farm scale.
+
+    Versus the scheduled hub this pays a per-quantum detector program
+    (~ the hard-path pump cost) plus header/body programs per frame
+    cohort; in exchange TX timing may jitter arbitrarily and no
+    schedule is needed.  Channel noise is applied INSIDE the detector
+    (on the wire, upstream of acquisition and decode alike) via
+    ``device_channel_fn``.
+    """
+
+    def __init__(self, config, batch: int, quantum: int = 4800,
+                 ring_quanta: int = 24,
+                 device_channel_fn: Optional[Callable] = None,
+                 rs_parity: int = 0, body_code=None,
+                 max_payload: int = 160,
+                 rx_ring_quanta: Optional[int] = None, seed: int = 0):
+        super().__init__(config, batch, quantum, ring_quanta)
+        from webaudio_modem_tpu.ops.soft_blind import \
+            BlindSoftBatchReceiver
+
+        self._params = FSKParams.from_config(self.config)
+        if quantum % self._params.downsample_ratio != 0:
+            raise ValueError(
+                f"quantum ({quantum}) must be a multiple of the "
+                f"downsample ratio ({self._params.downsample_ratio})")
+        self._rs = rs_parity
+        self._body = body_code
+        self._rx = {
+            side: BlindSoftBatchReceiver(
+                self._params, batch, quantum,
+                ring_quanta=rx_ring_quanta, rs_parity=rs_parity,
+                body_code=body_code, channel_fn=device_channel_fn,
+                max_payload=max_payload, seed=seed + k)
+            for k, side in enumerate(("a", "b"))}
+        B, q = batch, quantum
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _consume(ring, roff):
+            frame = jax.lax.dynamic_slice(ring, (0, roff), (B, q))
+            ring = jax.lax.dynamic_update_slice(
+                ring, jnp.zeros((B, q), jnp.float32), (0, roff))
+            return ring, frame
+
+        self._consume = _consume
+
+    # -- TX: FEC frame synthesis (same wire as SoftFarmHub) ------------------
+
+    def _synth_full(self, side: str, datas) -> "jax.Array":
+        from webaudio_modem_tpu.ops import soft_fsk
+
+        return soft_fsk.encode_frames_batch(
+            self._params, datas, rs_parity=self._rs,
+            body_code=self._body)
+
+    # -- the pump -------------------------------------------------------------
+
+    def step(self) -> None:
+        """One audio quantum per direction: launch TX writes, consume
+        the playing quantum from the wire, feed the blind receiver
+        (its own pipeline overlaps detector/header/body dispatches
+        with fetches from previous quanta), deliver what completed."""
+        roff = np.int32((self.steps * self.quantum) % self.ring_len)
+        for tx_side, rx_side in (("a", "b"), ("b", "a")):
+            with metrics.timer("farm_hub.host_tx"):
+                self._launch(tx_side)
+            with metrics.timer("farm_hub.chunk"):
+                ring, frame = self._consume(self._rings[tx_side], roff)
+                self._rings[tx_side] = ring
+                events = self._rx[rx_side].feed(frame)
+            self._deliver(rx_side, events)
+        self.steps += 1
+        self._resolve_playouts()
+
+    def _deliver(self, rx_side: str, events) -> None:
+        """Decoded payloads ARE wire bytes: plane them and drain
+        through the batched deframer.  Multiple payloads for one
+        channel in one step (rare) drain as ordered waves."""
+        while events:
+            seen = set()
+            wave, rest = [], []
+            for ch, pl in events:
+                (rest if ch in seen else wave).append((ch, pl))
+                seen.add(ch)
+            counts = np.zeros((self.batch,), np.int64)
+            width = max(len(p) for _, p in wave)
+            plane = np.zeros((self.batch, max(width, 1)), np.uint8)
+            for ch, p in wave:
+                counts[ch] = len(p)
+                plane[ch, :len(p)] = np.frombuffer(p, np.uint8)
+            self._drain(rx_side, _DecOut(counts, plane))
+            events = rest
+
+    def flush(self) -> None:
+        for side in ("a", "b"):
+            self._deliver(side, self._rx[side].flush())
+
+    def _tx_active(self) -> bool:
+        return (any(self._rx[s].has_work() for s in ("a", "b"))
+                or super()._tx_active())
+
+    # -- observability ----------------------------------------------------------
+
+    def get_status(self) -> dict:
+        return {
+            "steps": self.steps,
+            "native_deframer": self._deframers["a"].is_native,
+            "ring_len": self.ring_len,
+            "rs_parity": self._rs,
+            "body_code": (type(self._body).__name__
+                          if self._body is not None else None),
+            "rx": {s: self._rx[s].get_status() for s in ("a", "b")},
+        }
