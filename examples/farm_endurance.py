@@ -200,6 +200,9 @@ async def run(batch: int, rounds: int, payload_size: int,
           f"{t_ms('farm_hub.host_tx')}")
     print(f"host drain per direction-quantum:    "
           f"{t_ms('farm_hub.host_drain')}")
+    if snap.get("farm_hub.fetch_wait"):
+        print(f"device fetch wait per finalize:      "
+              f"{t_ms('farm_hub.fetch_wait')}")
     print(f"dispatch+drain (chunk) per direction-quantum: "
           f"{t_ms('farm_hub.chunk')}")
     return 0 if ok else 1

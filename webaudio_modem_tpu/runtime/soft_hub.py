@@ -230,6 +230,12 @@ class SoftFarmHub(RingHubBase):
         q = self._pending_dec[rx_side]
         while q and (all_pending or q[0][2] < self.steps):
             group, packed, _ = q.popleft()
+            # fetch wait (device compute + transfer, blocking) timed
+            # APART from host parse: conflating them once read as a
+            # 1.2 s/cohort "drain" at B=4096 when the true host cost
+            # is ~22 ms (docs/PERFORMANCE.md, drain measurement)
+            with metrics.timer("farm_hub.fetch_wait"):
+                packed = np.asarray(packed)
             with metrics.timer("farm_hub.host_drain"):
                 self._finalize(rx_side, group, packed)
 
