@@ -17,6 +17,11 @@ bench shape, B=2048 / payload 16 / T=16720):
   cumsum   soft-LLR cumulative sum
   hdr      _batch_header_stage (align + score/prune + top-k Viterbi)
   hdr_full _batch_header_stage with pruning off (all n_off candidates)
+  hwin     header candidate-window build alone (wsum + barrel align +
+           n_off strided slices + moveaxis -> [B, n_off, h])
+  hscore   alignment-coherence score alone (sum |llr| + mask)
+  hsel     top-k selection alone (score + iterative argmax -> one-hot)
+  hcontr   one-hot candidate contraction alone (einsum + starts/valid)
   body     _batch_body_stage (align + body Viterbi)
   align_h  _aligned_rows alone at the header window shape
   align_b  _aligned_rows alone at the body window shape
@@ -146,6 +151,18 @@ def main() -> int:
                           jnp.uint8)
     bbits = jnp.asarray(rng.randint(0, 2, (K, B, 8 * payload)),
                         jnp.uint8)
+    # header-internals operands: [B, n_off, h_bits] candidate planes,
+    # [B, n_off] starts, [B, k, n_off] one-hots (as produced in
+    # soft_fsk._candidate_headers)
+    hplane = jnp.asarray(rng.randn(K, B, n_off, h_bits)
+                         .astype(np.float32))
+    hstarts = jnp.asarray(rng.randint(0, n_ds, (K, B, n_off)),
+                          jnp.int32)
+    oh_np = np.zeros((K, B, k_sel, n_off), np.float32)
+    for kk in range(K):
+        for j in range(k_sel):
+            oh_np[kk, np.arange(B), j, rng.randint(0, n_off, B)] = 1.0
+    honehot = jnp.asarray(oh_np)
 
     def jit_scan(step):
         @functools.partial(jax.jit, static_argnums=1)
@@ -229,6 +246,49 @@ def main() -> int:
         return fec._viterbi_core(
             stk[i], 8 * (payload + 2)).astype(jnp.float32).sum()
     stages["vit_b"] = (jit_scan(vit_b_step), (bllr,))
+
+    def hwin_step(i, cstk, bstk):
+        # the candidate-window build of _candidate_headers: windowed
+        # bit sums from csum, pad, barrel align, n_off strided slices,
+        # moveaxis to [B, n_off, h]
+        csum = cstk[i]
+        wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
+        wsum = jnp.concatenate(
+            [jnp.zeros((pad_lo, B), jnp.float32), wsum], 0)
+        base = jnp.clip(bstk[i], 0, max(wsum.shape[0] - U_h, 0))
+        al = soft_fsk._aligned_rows(wsum, base, U_h)
+        h_llr = jnp.stack(
+            [jax.lax.slice(al, (o, 0),
+                           (o + (h_bits - 1) * ds + 1, B), (ds, 1))
+             for o in range(n_off)], axis=0)
+        return jnp.moveaxis(h_llr, -1, 0).sum()
+    stages["hwin"] = (jit_scan(hwin_step), (csum_s, base_h))
+
+    def hscore_step(i, pstk):
+        score = jnp.sum(jnp.abs(pstk[i]), axis=-1)
+        return score.sum()
+    stages["hscore"] = (jit_scan(hscore_step), (hplane,))
+
+    def hsel_step(i, pstk):
+        # score + the iterative top-k argmax loop -> [B, k, n_off]
+        sc = jnp.sum(jnp.abs(pstk[i]), axis=-1)
+        iota_off = jnp.arange(n_off)
+        ohs = []
+        for _ in range(k_sel):
+            idx = jnp.argmax(sc, axis=-1)
+            oh = iota_off[None, :] == idx[:, None]
+            ohs.append(oh)
+            sc = jnp.where(oh, -jnp.inf, sc)
+        return jnp.stack(ohs, 1).astype(jnp.float32).sum()
+    stages["hsel"] = (jit_scan(hsel_step), (hplane,))
+
+    def hcontr_step(i, pstk, ostk, sstk):
+        h_llr = jnp.einsum("bko,boh->bkh", ostk[i], pstk[i])
+        starts = jnp.sum(ostk[i] * sstk[i][:, None, :].astype(
+            jnp.float32), axis=-1)
+        return h_llr.sum() + starts.sum()
+    stages["hcontr"] = (jit_scan(hcontr_step),
+                        (hplane, honehot, hstarts))
 
     def crc_step(i, hstk, bstk):
         h = soft_fsk._crc16_bits_device(hstk[i])

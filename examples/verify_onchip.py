@@ -22,6 +22,9 @@ checks that previously lived only in commit messages and doc prose:
   9. soft-hub ARQ         — 32 concurrent XModem sessions over the
      soft-FEC wire (SoftFarmHub: scheduled window decodes through the
      fused soft decoder, on-device AWGN), every payload exact
+ 10. blind-hub ARQ        — the same topology with the fully BLIND
+     receive path (BlindSoftFarmHub: streaming sync-scan acquisition,
+     lengths from decoded headers, zero playout knowledge at RX)
 
 Prints ONE JSON summary line (pass/fail per check + timings) and exits
 non-zero on any failure.  Bounded: sized to finish in a few minutes
@@ -294,6 +297,50 @@ def check_soft_hub_arq(batch=32, payload=11):
                   f"soft-FEC wire ({steps} quanta, {frames} frames)")
 
 
+def check_blind_hub_arq(batch=32, payload=11):
+    """Same ARQ-over-the-soft-wire topology as soft_hub_arq, but the
+    receive path is fully BLIND (runtime/soft_hub.BlindSoftFarmHub):
+    frames are acquired by the per-quantum streaming sync scan and
+    payload lengths come from decoded headers — no playout knowledge
+    reaches RX (reference acquisition model, fsk.ts:297-315)."""
+    from webaudio_modem_tpu.models.config import DEFAULT_FSK_CONFIG
+    from webaudio_modem_tpu.runtime.soft_hub import BlindSoftFarmHub
+    from webaudio_modem_tpu.sim import make_device_awgn
+    from webaudio_modem_tpu.transports.xmodem import XModemTransport
+
+    async def run():
+        hub = BlindSoftFarmHub(DEFAULT_FSK_CONFIG, batch, quantum=4800,
+                               ring_quanta=24,
+                               device_channel_fn=make_device_awgn(1e-4))
+        senders = [XModemTransport(hub.channel("a", i))
+                   for i in range(batch)]
+        receivers = [XModemTransport(hub.channel("b", i))
+                     for i in range(batch)]
+        for t in senders + receivers:
+            t.configure({"timeout_ms": 600000})
+        payloads = [bytes((i * 5 + k) & 0xFF for k in range(payload))
+                    for i in range(batch)]
+        pump = asyncio.ensure_future(hub.run())
+        try:
+            recv = [asyncio.ensure_future(r.receive_data())
+                    for r in receivers]
+            await asyncio.sleep(0)
+            await asyncio.gather(*(s.send_data(p)
+                                   for s, p in zip(senders, payloads)))
+            results = await asyncio.gather(*recv)
+        finally:
+            hub.stop()
+            await pump
+        return (sum(1 for r, p in zip(results, payloads) if r != p),
+                hub.steps)
+
+    bad, steps = asyncio.run(run())
+    if bad:
+        return False, f"{bad}/{batch} blind-RX ARQ payloads mismatched"
+    return True, (f"{batch}/{batch} ARQ transfers exact over the "
+                  f"blind soft receive path ({steps} quanta)")
+
+
 CHECKS = [
     ("golden_differential", check_golden_differential),
     ("pallas_vs_lax", check_pallas_vs_lax),
@@ -304,6 +351,7 @@ CHECKS = [
     ("ldpc_body_farm", check_ldpc_body_farm),
     ("turbo_body_farm", check_turbo_body_farm),
     ("soft_hub_arq", check_soft_hub_arq),
+    ("blind_hub_arq", check_blind_hub_arq),
 ]
 
 
