@@ -203,6 +203,12 @@ def main() -> int:
         return jnp.cumsum(sstk[i].astype(jnp.float32), 0)[-1].sum()
     stages["cumsum"] = (jit_scan(cumsum_step), (softs_s,))
 
+    def csum0_step(i, sstk):
+        # the production helper (Pallas single-pass kernel on TPU farm
+        # shapes, lax fallback elsewhere)
+        return soft_fsk._csum0(sstk[i])[-1].sum()
+    stages["csum0"] = (jit_scan(csum0_step), (softs_s,))
+
     def hdr_step(i, bstk, sstk):
         t_peak, peak_ok, csum, starts, headers, valid = \
             soft_fsk._batch_header_stage(params, bstk[i], sstk[i],

@@ -321,9 +321,7 @@ class BlindSoftBatchReceiver:
                 ring, (((slot0 + i) % n_slots) * n_ds, 0), (n_ds, B))
                 for i in range(K_h)]
             win = jnp.concatenate(parts, 0)
-            csum = jnp.concatenate(
-                [jnp.zeros((1, B), jnp.float32),
-                 jnp.cumsum(win.astype(jnp.float32), 0)], 0)
+            csum = soft_fsk._csum0(win)
             starts, headers, valid = soft_fsk._candidate_headers(
                 params, csum, t_peak_rel, active, 0, top_k)
             return soft_fsk._select_candidate(
@@ -344,9 +342,7 @@ class BlindSoftBatchReceiver:
                     ring, (((slot0 + i) % n_slots) * n_ds, 0),
                     (n_ds, B)) for i in range(K_b)]
                 win = jnp.concatenate(parts, 0)
-                csum = jnp.concatenate(
-                    [jnp.zeros((1, B), jnp.float32),
-                     jnp.cumsum(win.astype(jnp.float32), 0)], 0)
+                csum = soft_fsk._csum0(win)
                 b_starts = jnp.where(active, b_start_rel, 0)
                 bodies = soft_fsk._batch_body_stage(
                     params, csum, b_starts, ln, rs, body)

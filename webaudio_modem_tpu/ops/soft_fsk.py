@@ -699,6 +699,25 @@ def _grid_offsets(params: FSKParams) -> np.ndarray:
 HEADER_TOP_K = 8
 
 
+def _csum0(softs):
+    """Zero-prefixed f32 time cumsum [n_ds + 1, B] of a soft plane.
+
+    Farm shapes on TPU run the single-pass Pallas kernel
+    (ops/pallas/cumsum0.py — XLA's log-pass ladder measured 1.09 ms of
+    the 6.8 ms fused decode at B=2048); everything else keeps the lax
+    form.  The two round differently in the last ulps (sequential vs
+    tree adds); every consumer is CRC-gated, per the f32 note in
+    _batch_header_stage."""
+    from webaudio_modem_tpu.ops.pallas import cumsum0 as pcs
+
+    n_ds, B = softs.shape
+    if pcs.available(B):
+        return pcs.csum0(softs)
+    return jnp.concatenate(
+        [jnp.zeros((1, B), jnp.float32),
+         jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
+
+
 def _candidate_headers(params: FSKParams, csum, t_peak, gate,
                        body_bits_n: int, top_k: int):
     """Shared header-candidate machinery: grid starts around ``t_peak``
@@ -830,9 +849,7 @@ def _batch_header_stage(params: FSKParams, bits, softs,
     # worst case, keeping window-sum error <= ~0.1% of its magnitude
     # even at maximum frame length.  TPU f64 would be emulated and
     # slow; CRC gates any borderline flip as a clean None.
-    csum = jnp.concatenate(
-        [jnp.zeros((1, B), jnp.float32),
-         jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
+    csum = _csum0(softs)
 
     starts, headers, valid = _candidate_headers(
         params, csum, t_peak, peak_ok, body_bits_n, top_k)
