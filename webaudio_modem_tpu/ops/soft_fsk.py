@@ -804,7 +804,8 @@ def _candidate_headers(params: FSKParams, csum, t_peak, gate,
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def _batch_header_stage(params: FSKParams, bits, softs,
-                        body_bits_n: int = 0, top_k: int = 0):
+                        body_bits_n: int = 0, top_k: int = 0,
+                        rsum=None):
     """Device half 1: sync peak + header-candidate selection + ONE
     batched Viterbi over the surviving (channel x offset) candidates.
     Everything stays in HBM; only the outputs (small int planes) cross
@@ -836,8 +837,17 @@ def _batch_header_stage(params: FSKParams, bits, softs,
     n_ds, B = bits.shape
     W = params.sync_window
 
-    ext = jnp.concatenate([jnp.zeros((W, B), bits.dtype), bits], 0)
-    ratios = fsk_demod._sync_ratios(params, ext)       # [n_ds, B]
+    if rsum is not None:
+        # stage C from the kernel's fused sliding block sums — the
+        # hard path's R formulation (bit-identical to _sync_ratios on
+        # the zero-prefixed ext, see _sync_ratios_from_r); a zero
+        # r_tail IS the all-zeros window prefix of a one-shot decode
+        ds = params.ds_samples_per_bit
+        ratios = fsk_demod._sync_ratios_from_r(
+            params, jnp.zeros((W - ds, B), rsum.dtype), rsum)
+    else:
+        ext = jnp.concatenate([jnp.zeros((W, B), bits.dtype), bits], 0)
+        ratios = fsk_demod._sync_ratios(params, ext)   # [n_ds, B]
     t_peak = jnp.argmax(ratios, axis=0).astype(jnp.int32)
     peak = jnp.take_along_axis(ratios, t_peak[None, :], axis=0)[0]
     peak_ok = peak > jnp.float32(params.config.sync_threshold)
@@ -998,14 +1008,14 @@ def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
     h_bits = HEADER_CODED_BITS
 
     state = fsk_demod.init_state(params, batch=B)
-    _, _, _, _, bits, _, softs = fsk_demod._sequential_stage(
-        params, 0, state, samples)
+    _, _, _, _, bits, _, softs, rsum = fsk_demod._sequential_stage(
+        params, 0, state, samples, with_rsum=True)
 
     body_bits_n = _body_coded_bits(payload_len, rs_parity, body_code)
     if top_k is None:
         top_k = HEADER_TOP_K
     t_peak, peak_ok, csum, starts, headers, valid = _batch_header_stage(
-        params, bits, softs, body_bits_n, top_k)
+        params, bits, softs, body_bits_n, top_k, rsum)
 
     found, _, st = _select_candidate(headers, starts, valid,
                                      payload_len=payload_len)
