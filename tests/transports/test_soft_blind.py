@@ -22,7 +22,7 @@ def _params():
 
 
 def _place(rng, B, payloads_per_ch, gap_lo=2000, gap_hi=9000,
-           sigma=0.0, params=None):
+           sigma=0.0, params=None, rs_parity=0, body_code=None):
     """Build a [B, T] stream: per channel, frames at RANDOM offsets
     with random silence gaps — no alignment to quanta, bits, or other
     channels.  Returns (stream, expected: list of per-channel payload
@@ -36,12 +36,11 @@ def _place(rng, B, payloads_per_ch, gap_lo=2000, gap_hi=9000,
         parts = [np.zeros(cursor, np.float32)]
         exp = []
         for pl in payloads_per_ch[b]:
-            if pl not in sigs or sigs[pl][1] != len(pl):
-                pass
             key = bytes(pl)
             if key not in sigs:
                 sigs[key] = np.asarray(soft_fsk.encode_frame_signal(
-                    params, pl), np.float32)
+                    params, pl, rs_parity=rs_parity,
+                    body_code=body_code), np.float32)
             parts.append(sigs[key])
             gap = int(rng.randint(gap_lo, gap_hi))
             parts.append(np.zeros(gap, np.float32))
@@ -196,6 +195,48 @@ class TestBlindAcquisition:
             dec = soft_fsk.SoftFrameDecoder(params)
             single = dec.feed(stream[b])
             assert got[b] == single == exp[b]
+
+
+class TestBlindBodyCodes:
+    """The blind receiver's pluggable body paths (the header stays
+    conv-coded, so acquisition is identical; only the per-length body
+    program changes)."""
+
+    def test_ldpc_body(self):
+        from webaudio_modem_tpu.ops.ldpc import default_code
+        code = default_code()
+        rng = np.random.RandomState(31)
+        B = 4
+        payloads = [[bytes(rng.randint(0, 256, 9, dtype=np.uint8))]
+                    for _ in range(B)]
+        stream, exp = _place(rng, B, payloads, sigma=0.05,
+                             body_code=code)
+        rx = BlindSoftBatchReceiver(_params(), B, QUANTUM,
+                                    max_payload=16, body_code=code)
+        assert _run(rx, stream) == exp
+
+    def test_rs_concatenated(self):
+        rng = np.random.RandomState(37)
+        B = 4
+        payloads = [[bytes(rng.randint(0, 256, 9, dtype=np.uint8))]
+                    for _ in range(B)]
+        stream, exp = _place(rng, B, payloads, sigma=0.05, rs_parity=4)
+        rx = BlindSoftBatchReceiver(_params(), B, QUANTUM,
+                                    max_payload=16, rs_parity=4)
+        assert _run(rx, stream) == exp
+
+    def test_mixed_lengths_ldpc(self):
+        # length still comes from the decoded header in body-code mode
+        from webaudio_modem_tpu.ops.ldpc import default_code
+        code = default_code()
+        rng = np.random.RandomState(41)
+        lens = [3, 9, 21]
+        payloads = [[bytes(rng.randint(0, 256, n, dtype=np.uint8))]
+                    for n in lens]
+        stream, exp = _place(rng, len(lens), payloads, body_code=code)
+        rx = BlindSoftBatchReceiver(_params(), len(lens), QUANTUM,
+                                    max_payload=32, body_code=code)
+        assert _run(rx, stream) == exp
 
 
 class TestBlindConstruction:
