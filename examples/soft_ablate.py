@@ -242,6 +242,22 @@ def main() -> int:
         return soft_fsk._aligned_rows(plane, bstk[i], U_b).sum()
     stages["align_b"] = (jit_scan(align_b_step), (csum_s, base_b))
 
+    def palign_h_step(i, cstk, bstk):
+        # the VMEM-barrel kernel at the header-window shape (the live
+        # dispatch in _candidate_headers on TPU farm batches)
+        from webaudio_modem_tpu.ops.pallas import align as palign
+        return palign.aligned_wsum(
+            cstk[i], bstk[i], U_h, ds, stride=1, pad_lo=ds + ds // 4,
+            polarity=float(params.polarity)).sum()
+    stages["palign_h"] = (jit_scan(palign_h_step), (csum_s, base_h))
+
+    def palign_b_step(i, cstk, bstk):
+        from webaudio_modem_tpu.ops.pallas import align as palign
+        return palign.aligned_wsum(
+            cstk[i], bstk[i], body_bits, ds, stride=ds,
+            polarity=float(params.polarity)).sum()
+    stages["palign_b"] = (jit_scan(palign_b_step), (csum_s, bstarts))
+
     def vit_h_step(i, stk):
         return fec._viterbi_core(
             stk[i], 8 * soft_fsk.HEADER_PLAIN).astype(jnp.float32).sum()

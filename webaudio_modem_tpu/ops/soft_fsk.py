@@ -758,12 +758,21 @@ def _candidate_headers(params: FSKParams, csum, t_peak, gate,
     # For every candidate the host keeps, the values are IDENTICAL to
     # the former per-element gather, which XLA:TPU serialized
     # (measured 140 ms at B=2048 — 20x the Viterbi it fed).
-    wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
-    wsum = jnp.concatenate(
-        [jnp.zeros((pad_lo, B), jnp.float32), wsum], 0)
     U = n_off + (h_bits - 1) * ds + 1
-    base = jnp.clip(t_peak + 1, 0, max(wsum.shape[0] - U, 0))
-    al = _aligned_rows(wsum, base, U)                  # [U, B]
+    len_pad = pad_lo + (csum.shape[0] - ds)            # padded wsum rows
+    base = jnp.clip(t_peak + 1, 0, max(len_pad - U, 0))
+    from webaudio_modem_tpu.ops.pallas import align as palign
+    if palign.available(B):
+        # VMEM barrel (ops/pallas/align.py): one csum read instead of
+        # ~0.5 GB of HBM select passes; bit-identical to the lax form
+        al = palign.aligned_wsum(csum, base, U, ds, stride=1,
+                                 pad_lo=pad_lo,
+                                 polarity=float(params.polarity))
+    else:
+        wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
+        wsum = jnp.concatenate(
+            [jnp.zeros((pad_lo, B), jnp.float32), wsum], 0)
+        al = _aligned_rows(wsum, base, U)              # [U, B]
     h_llr = jnp.stack(
         [jax.lax.slice(al, (o, 0), (o + (h_bits - 1) * ds + 1, B),
                        (ds, 1))
@@ -887,10 +896,19 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     # channels); the high clip engages only for channels whose body
     # span exceeds the stream — already invalid under the host's mask
     # (identical values for every channel it keeps).
-    wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
     U = (body_bits - 1) * ds + 1
-    base = jnp.clip(b_starts, 0, max(wsum.shape[0] - U, 0))
-    b_llr = _aligned_strided(wsum, base, body_bits, ds).T  # [B, body]
+    n_wsum = csum.shape[0] - ds
+    base = jnp.clip(b_starts, 0, max(n_wsum - U, 0))
+    from webaudio_modem_tpu.ops.pallas import align as palign
+    if palign.available(B):
+        # VMEM barrel — see the header-stage note; strided variant
+        b_llr = palign.aligned_wsum(
+            csum, base, body_bits, ds, stride=ds,
+            polarity=float(params.polarity)).T         # [B, body]
+    else:
+        wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
+        b_llr = _aligned_strided(
+            wsum, base, body_bits, ds).T               # [B, body]
     if body_code is not None:
         n_cw = body_bits // body_code.n
         bits_cw = _block_decode_bits(
