@@ -13,6 +13,9 @@ bench shape, B=2048 / payload 16 / T=16720):
 
   full     the whole fused decode (one device program)
   seq      sequential demod (Pallas kernel path)
+  seq_r    sequential demod, R-variant, all four streams emitted
+  seq_soft sequential demod as the fused decode calls it: R-variant
+           with bit/amp streams dropped at the kernel level
   sync     sync correlation + peak argmax over the full stream
   cumsum   soft-LLR cumulative sum
   hdr      _batch_header_stage (align + score/prune + top-k Viterbi)
@@ -189,6 +192,24 @@ def main() -> int:
             params, 0, st0, stk[i])
         return bits.astype(jnp.float32).sum() + softs.sum()
     stages["seq"] = (jit_scan(seq_step), (xs, state0))
+
+    def seq_r_step(i, stk, st0):
+        # the fused decode's actual call shape: R-variant, all streams
+        _, _, _, _, bits, amps, softs, rsum = \
+            fsk_demod._sequential_stage(params, 0, st0, stk[i],
+                                        with_rsum=True)
+        return (bits.astype(jnp.float32).sum() + amps.sum()
+                + softs.sum() + rsum.astype(jnp.float32).sum())
+    stages["seq_r"] = (jit_scan(seq_r_step), (xs, state0))
+
+    def seq_soft_step(i, stk, st0):
+        # streams="soft": bit/amp stores (and the amp sqrt chain)
+        # dropped at the kernel level — what the fused decode now runs
+        _, _, _, _, _, _, softs, rsum = \
+            fsk_demod._sequential_stage(params, 0, st0, stk[i],
+                                        with_rsum=True, streams="soft")
+        return softs.sum() + rsum.astype(jnp.float32).sum()
+    stages["seq_soft"] = (jit_scan(seq_soft_step), (xs, state0))
 
     def sync_step(i, bstk):
         W = params.sync_window

@@ -124,3 +124,49 @@ def test_pallas_rsum_matches_lax():
     cs = np.cumsum(ext, 0)
     np.testing.assert_array_equal(rsum_l, (cs[ds:] - cs[:-ds]).astype(
         rsum_l.dtype))
+
+
+def test_pallas_rsum_stream_drops_match_full():
+    # emit_bits/emit_amps drop output streams at the kernel level
+    # (pallas_call outputs are opaque to XLA DCE); every RETAINED
+    # output and the carried state must be bit-identical to the full
+    # kernel's, and dropped slots must come back as None
+    from webaudio_modem_tpu.ops import fsk_mod
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = fsk_seq.TILE
+    rng = np.random.RandomState(21)
+    sig = np.asarray(fsk_mod.modulate(params, b"drop"))
+    T = 768
+    x = (np.tile(sig[:T], (B, 1))
+         + rng.normal(0, 0.02, (B, T))).astype(np.float32)
+    state = fsk_demod.init_state(params, B)._replace(
+        bit_tail=jnp.asarray(
+            rng.randint(0, 2, (params.sync_window, B)), jnp.bfloat16))
+    fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
+    dsc = (state.last_phase, state.post)
+    ds = params.ds_samples_per_bit
+    ring0 = state.bit_tail[-ds:]
+
+    full = fsk_seq.seq_main(params, fr, dsc, jnp.asarray(x).T,
+                            T_blk=256, interpret=True, ring0=ring0)
+    fr_f, dsc_f, bits_f, amps_f, softs_f, rsum_f = full
+
+    for kw in ({"emit_amps": False},
+               {"emit_bits": False, "emit_amps": False}):
+        fr_d, dsc_d, bits_d, amps_d, softs_d, rsum_d = fsk_seq.seq_main(
+            params, fr, dsc, jnp.asarray(x).T, T_blk=256,
+            interpret=True, ring0=ring0, **kw)
+        assert amps_d is None
+        if kw.get("emit_bits", True):
+            np.testing.assert_array_equal(np.asarray(bits_d),
+                                          np.asarray(bits_f))
+        else:
+            assert bits_d is None
+        np.testing.assert_array_equal(np.asarray(softs_d),
+                                      np.asarray(softs_f))
+        np.testing.assert_array_equal(np.asarray(rsum_d),
+                                      np.asarray(rsum_f))
+        for a, b in zip(jax.tree.leaves((fr_d, dsc_d)),
+                        jax.tree.leaves((fr_f, dsc_f))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -218,3 +218,24 @@ class TestHeaderTopK:
         short = noisy[:, :T_hdr]
         out = soft_fsk.decode_frames_batch(params, short, 9)
         assert out == [None] * 4
+
+
+class TestHeaderStageBitsOptional:
+    def test_bits_none_with_rsum_matches(self):
+        # the fused TPU path passes streams="soft" and hands the
+        # header stage bits=None (rsum carries sync, softs the shape);
+        # outputs must be identical to the bits-given call
+        from webaudio_modem_tpu.ops import fsk_demod
+
+        rng = np.random.RandomState(31)
+        params, payloads, noisy = TestHeaderTopK._batch(rng, 8, 9, 0.05)
+        state = fsk_demod.init_state(params, batch=len(noisy))
+        _, _, _, _, bits, _, softs, rsum = fsk_demod._sequential_stage(
+            params, 0, state, jnp.asarray(noisy), with_rsum=True)
+        body_bits_n = soft_fsk._body_coded_bits(9, 0, None)
+        with_bits = soft_fsk._batch_header_stage(
+            params, bits, softs, body_bits_n, 8, rsum)
+        without = soft_fsk._batch_header_stage(
+            params, None, softs, body_bits_n, 8, rsum)
+        for a, b in zip(with_bits, without):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

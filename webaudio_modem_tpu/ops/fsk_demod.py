@@ -300,7 +300,8 @@ def _group_step(params: FSKParams, carry, x_group, atan2=jnp.arctan2):
 
 
 def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
-                      x, unroll: int = 0, with_rsum: bool = False):
+                      x, unroll: int = 0, with_rsum: bool = False,
+                      streams: str = "all"):
     """Run all sequential recurrences over [B, T].
 
     Returns (fr_state, dsc_state, ds_iacc, ds_qacc, bits [n_ds, B],
@@ -314,6 +315,16 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     integers <= ds), stream-continuous via ``state.bit_tail[-ds:]`` —
     the sync correlation's block-sum stage, fused into the sequential
     loop on the Pallas path and computed by an exact cumsum otherwise.
+
+    ``streams`` is a perf hint for with_rsum consumers that ignore
+    part of the output (Pallas outputs are opaque to XLA DCE, so
+    unused kernel streams are otherwise still computed and stored):
+    ``"no_amps"`` drops the amp plane (blind detector), ``"soft"``
+    drops amps AND bits (the fused soft decode reads only softs +
+    rsum).  Dropped planes come back as ``None``; on the lax path the
+    hint is ignored (XLA DCEs unused scan outputs by itself) and the
+    full planes are returned.  Retained outputs are identical either
+    way.
     """
     unroll = unroll or _default_unroll()
     B, T = x.shape
@@ -371,15 +382,23 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
         if fsk_seq.available(B):
             xm = xT[pos:pos + n_groups * ratio]
             if with_rsum:
+                # stream drops need the plane to be PURELY kernel-made
+                # (a ds_phase prefix already appended lax rows)
+                whole = not bits_parts
                 run0 = jnp.sum(ring.astype(jnp.float32), 0)
                 fr, dsc, bm, am, sm, rm = fsk_seq.seq_main(
-                    params, fr, dsc, xm, ring0=ring, run0=run0)
+                    params, fr, dsc, xm, ring0=ring, run0=run0,
+                    emit_bits=not (streams == "soft" and whole),
+                    emit_amps=not (streams in ("soft", "no_amps")
+                                   and whole))
                 r_parts.append(rm)
             else:
                 fr, dsc, bm, am, sm = fsk_seq.seq_main(params, fr, dsc,
                                                        xm)
-            bits_parts.append(bm)
-            amps_parts.append(am)
+            if bm is not None:
+                bits_parts.append(bm)
+            if am is not None:
+                amps_parts.append(am)
             soft_parts.append(sm)
             pos += n_groups * ratio
             n_groups = 0
@@ -421,10 +440,10 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
         acc_i = acc_i + fi
         acc_q = acc_q + fq
 
-    if bits_parts:
-        bits = jnp.concatenate(bits_parts, 0)
-        amps = jnp.concatenate(amps_parts, 0)
+    if soft_parts:
         softs = jnp.concatenate(soft_parts, 0)
+        bits = (jnp.concatenate(bits_parts, 0) if bits_parts else None)
+        amps = (jnp.concatenate(amps_parts, 0) if amps_parts else None)
     else:
         bits = jnp.zeros((0, B), jnp.bfloat16)
         amps = softs = jnp.zeros((0, B), x.dtype)
@@ -432,9 +451,11 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
         return fr, dsc, acc_i, acc_q, bits, amps, softs
     # rsum for any rows the kernel/prefix didn't cover (the lax.scan
     # main + remainder — CPU or FORCE_LAX_SEQ): exact cumsum over the
-    # ring + those bits (integer counts, exact in f32)
+    # ring + those bits (integer counts, exact in f32).  When the
+    # kernel dropped the bit stream (streams="soft") it covered every
+    # row itself, so this branch never needs the plane.
     covered = sum(int(p.shape[0]) for p in r_parts)
-    if bits.shape[0] > covered:
+    if int(softs.shape[0]) > covered:
         rest = bits[covered:].astype(jnp.float32)
         ext80 = jnp.concatenate([ring.astype(jnp.float32), rest], 0)
         cs = jnp.cumsum(ext80, 0)

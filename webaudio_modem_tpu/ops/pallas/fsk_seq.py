@@ -129,9 +129,8 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
 
 
 def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
-              x_ref, state_in_ref, ring_in_ref, bits_ref, amps_ref,
-              softs_ref, rbits_ref, state_out_ref, scratch, ring_scr,
-              run_scr):
+              emit_bits: bool, emit_amps: bool,
+              x_ref, state_in_ref, ring_in_ref, *refs):
     """Variant emitting the sliding ds-wide bit sums R as a 4th stream.
 
     R(i) = R(i-1) + b(i) - b(i-ds) rides the sequential loop as a
@@ -141,9 +140,23 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
     ``bit_tail[-ds:]`` (read position = global group index mod ds —
     pure scalar-unit arithmetic, no VPU cost); the running sum is an
     exact f32 integer <= ds, emitted bf16 (exact for ds <= 256).
-    """
+
+    ``emit_bits`` / ``emit_amps`` (static) gate the bit/amp output
+    streams.  pallas_call outputs are opaque to XLA, so a consumer
+    that ignores them (the fused soft decode uses only softs + rsum;
+    the blind detector only adds bits) still pays their stores — and
+    the amp's sqrt chain — unless the kernel itself drops them.  The
+    bit decision is always computed (R consumes it); with
+    ``emit_amps=False`` the amp arithmetic is dead at trace time and
+    never reaches Mosaic.  Retained outputs are bit-identical to the
+    full kernel's (differential test test_pallas_seq.py)."""
     from webaudio_modem_tpu.ops.fsk_demod import _group_step
     from webaudio_modem_tpu.ops.pallas.tpu_math import atan2 as tpu_atan2
+
+    it = iter(refs)
+    bits_ref = next(it) if emit_bits else None
+    amps_ref = next(it) if emit_amps else None
+    softs_ref, rbits_ref, state_out_ref, scratch, ring_scr, run_scr = it
 
     t_idx = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -189,9 +202,11 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
             amps_u.append(amp)
             softs_u.append(soft)
             r_u.append(run)
-        bits_ref[pl.ds(j * UNROLL, UNROLL)] = \
-            jnp.stack(bits_u).astype(jnp.bfloat16)
-        amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
+        if emit_bits:
+            bits_ref[pl.ds(j * UNROLL, UNROLL)] = \
+                jnp.stack(bits_u).astype(jnp.bfloat16)
+        if emit_amps:
+            amps_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(amps_u)
         softs_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(softs_u)
         rbits_ref[pl.ds(j * UNROLL, UNROLL)] = \
             jnp.stack(r_u).astype(jnp.bfloat16)
@@ -206,8 +221,10 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
         carry, bit, amp, soft = _group_step(params, carry, group,
                                             atan2=tpu_atan2)
         run = r_step(base + i, run, bit)
-        bits_ref[i] = bit.astype(jnp.bfloat16)
-        amps_ref[i] = amp
+        if emit_bits:
+            bits_ref[i] = bit.astype(jnp.bfloat16)
+        if emit_amps:
+            amps_ref[i] = amp
         softs_ref[i] = soft
         rbits_ref[i] = run.astype(jnp.bfloat16)
         return carry, run
@@ -278,12 +295,15 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
     return st_out.reshape(N_STATE, B), bits, amps, softs
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
-                     interpret: bool, packed_state, xT, ring0):
+                     interpret: bool, emit_bits: bool, emit_amps: bool,
+                     packed_state, xT, ring0):
     """R-emitting variant: also takes the ds-deep bit ring seed
     (bit_tail[-ds:], bf16 [ds, B]) and returns (packed_state', bits,
-    amps, softs, rsum [n_groups, B] bf16)."""
+    amps, softs, rsum [n_groups, B] bf16) — ``bits``/``amps`` are
+    ``None`` when the matching emit flag is off (stream dropped at
+    the kernel level, see _kernel_r)."""
     ratio = params.downsample_ratio
     ds = params.ds_samples_per_bit
     T_m, B = xT.shape
@@ -295,12 +315,27 @@ def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
     st3 = packed_state.reshape(N_STATE, rows, LANES)
     ring3 = ring0.reshape(ds, rows, LANES)
 
-    kernel = functools.partial(_kernel_r, params, n_groups, gpb)
+    kernel = functools.partial(_kernel_r, params, n_groups, gpb,
+                               emit_bits, emit_amps)
     out_stream = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
         (n_t * gpb, rows, LANES), dt)
     stream_spec = pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)
-    bits, amps, softs, rsum, st_out = pl.pallas_call(
+    out_specs, out_shape = [], []
+    if emit_bits:
+        out_specs.append(stream_spec)
+        out_shape.append(out_stream(jnp.bfloat16))
+    if emit_amps:
+        out_specs.append(stream_spec)
+        out_shape.append(out_stream(jnp.float32))
+    out_specs += [stream_spec, stream_spec,
+                  pl.BlockSpec((N_STATE, rows, LANES),
+                               lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+    out_shape += [out_stream(jnp.float32), out_stream(jnp.bfloat16),
+                  jax.ShapeDtypeStruct((N_STATE, rows, LANES),
+                                       jnp.float32)]
+    outs = pl.pallas_call(
         kernel,
         grid=(n_t,),
         in_specs=[
@@ -311,15 +346,8 @@ def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
             pl.BlockSpec((ds, rows, LANES), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(stream_spec, stream_spec, stream_spec, stream_spec,
-                   pl.BlockSpec((N_STATE, rows, LANES),
-                                lambda t: (0, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(
-            out_stream(jnp.bfloat16), out_stream(jnp.float32),
-            out_stream(jnp.float32), out_stream(jnp.bfloat16),
-            jax.ShapeDtypeStruct((N_STATE, rows, LANES), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((N_STATE, rows, LANES), jnp.float32),
             pltpu.VMEM((ds, rows, LANES), jnp.bfloat16),
@@ -328,16 +356,18 @@ def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
         interpret=interpret,
     )(x3, st3, ring3)
 
-    bits = bits.reshape(n_t * gpb, B)[:n_groups]
-    amps = amps.reshape(n_t * gpb, B)[:n_groups]
-    softs = softs.reshape(n_t * gpb, B)[:n_groups]
-    rsum = rsum.reshape(n_t * gpb, B)[:n_groups]
+    outs = list(outs)
+    cut = lambda a: a.reshape(n_t * gpb, B)[:n_groups]  # noqa: E731
+    bits = cut(outs.pop(0)) if emit_bits else None
+    amps = cut(outs.pop(0)) if emit_amps else None
+    softs, rsum, st_out = cut(outs[0]), cut(outs[1]), outs[2]
     return st_out.reshape(N_STATE, B), bits, amps, softs, rsum
 
 
 def seq_main(params: FSKParams, fr, dsc, xT_main,
              T_blk: int = 0, interpret: bool = False,
-             ring0=None, run0=None):
+             ring0=None, run0=None, emit_bits: bool = True,
+             emit_amps: bool = True):
     """Pallas path for the aligned main body of the sequential stage.
 
     xT_main: time-major [n_groups*ratio, B]; B must be a multiple of
@@ -347,6 +377,12 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     ``ring0`` (the ds-deep bit history, bf16 [ds, B]) is given.
     ``run0`` is accepted for interface symmetry but recomputed
     in-kernel from the ring (exact integer sum).
+
+    ``emit_bits`` / ``emit_amps`` (R variant only) drop the matching
+    output streams at the kernel level — pallas_call outputs are
+    opaque to XLA DCE, so consumers that ignore a stream otherwise
+    still pay its stores (and the amp sqrt chain).  A dropped stream
+    returns ``None`` in its slot; retained outputs are bit-identical.
     """
     T_m, B = xT_main.shape
     ratio = params.downsample_ratio
@@ -377,7 +413,8 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     packed = _pack_state(fr, dsc)
     if ring0 is not None:
         packed, bits, amps, softs, rsum = _seq_main_call_r(
-            params, n_groups, T_blk, interpret, packed, xT_main, ring0)
+            params, n_groups, T_blk, interpret, emit_bits, emit_amps,
+            packed, xT_main, ring0)
         fr2, dsc2 = _unpack_state(packed)
         return fr2, dsc2, bits, amps, softs, rsum
     packed, bits, amps, softs = _seq_main_call(

@@ -244,9 +244,12 @@ class BlindSoftBatchReceiver:
             if chan is not None:
                 key, sub = jax.random.split(key)
                 samples = chan(samples, sub)
+            # streams="no_amps": the detector reads bits (bit_tail
+            # carry), softs and rsum but never the amp plane
             (fr, dsc, iacc, qacc, bits, _amps, softs,
              rsum) = fsk_demod._sequential_stage(
-                params, 0, rx.demod, samples, with_rsum=True)
+                params, 0, rx.demod, samples, with_rsum=True,
+                streams="no_amps")
             agc_gain, pre, phi, iq_i, iq_q = fr
             last_phase, post = dsc
             ratios = fsk_demod._sync_ratios_from_r(

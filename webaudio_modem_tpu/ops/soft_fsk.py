@@ -842,8 +842,12 @@ def _batch_header_stage(params: FSKParams, bits, softs,
     passing offset is chosen (best-scoring instead of first-in-grid-
     order); both are CRC-validated headers of the same frame, and the
     payload byte contract is unchanged (differential test:
-    tests/transports/test_soft_batch_internals.py::TestHeaderTopK)."""
-    n_ds, B = bits.shape
+    tests/transports/test_soft_batch_internals.py::TestHeaderTopK).
+
+    ``bits`` may be ``None`` when ``rsum`` is given (the fused decode
+    passes streams="soft" to the seq stage) — only its shape would be
+    read, and softs carries the same one."""
+    n_ds, B = softs.shape
     W = params.sync_window
 
     if rsum is not None:
@@ -1026,8 +1030,11 @@ def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
     h_bits = HEADER_CODED_BITS
 
     state = fsk_demod.init_state(params, batch=B)
+    # streams="soft": only softs + rsum are consumed here, so the seq
+    # kernel drops the bit/amp stores (and the amp sqrt chain) — XLA
+    # cannot DCE unused pallas_call outputs itself
     _, _, _, _, bits, _, softs, rsum = fsk_demod._sequential_stage(
-        params, 0, state, samples, with_rsum=True)
+        params, 0, state, samples, with_rsum=True, streams="soft")
 
     body_bits_n = _body_coded_bits(payload_len, rs_parity, body_code)
     if top_k is None:
