@@ -14,8 +14,11 @@ bench shape, B=2048 / payload 16 / T=16720):
   full     the whole fused decode (one device program)
   seq      sequential demod (Pallas kernel path)
   seq_r    sequential demod, R-variant, all four streams emitted
-  seq_soft sequential demod as the fused decode calls it: R-variant
-           with bit/amp streams dropped at the kernel level
+  seq_soft sequential demod, R-variant with bit/amp streams dropped
+           at the kernel level
+  seq_csum sequential demod as the fused decode calls it: streams
+           dropped AND the inclusive soft cumsum fused into the softs
+           slot (no separate cumsum0 pass downstream)
   sync     sync correlation + peak argmax over the full stream
   cumsum   soft-LLR cumulative sum
   hdr      _batch_header_stage (align + score/prune + top-k Viterbi)
@@ -204,12 +207,24 @@ def main() -> int:
 
     def seq_soft_step(i, stk, st0):
         # streams="soft": bit/amp stores (and the amp sqrt chain)
-        # dropped at the kernel level — what the fused decode now runs
+        # dropped at the kernel level
         _, _, _, _, _, _, softs, rsum = \
             fsk_demod._sequential_stage(params, 0, st0, stk[i],
                                         with_rsum=True, streams="soft")
         return softs.sum() + rsum.astype(jnp.float32).sum()
     stages["seq_soft"] = (jit_scan(seq_soft_step), (xs, state0))
+
+    def seq_csum_step(i, stk, st0):
+        # streams="csum": bit/amp streams dropped AND the softs slot
+        # carries the fused inclusive cumsum — what the fused decode
+        # now runs (the separate cumsum0 pass is gone)
+        _, _, _, _, _, _, softs, rsum = \
+            fsk_demod._sequential_stage(params, 0, st0, stk[i],
+                                        with_rsum=True, streams="csum")
+        plane = softs.inc if isinstance(softs, fsk_demod.CsumPlane) \
+            else softs
+        return plane.sum() + rsum.astype(jnp.float32).sum()
+    stages["seq_csum"] = (jit_scan(seq_csum_step), (xs, state0))
 
     def sync_step(i, bstk):
         W = params.sync_window

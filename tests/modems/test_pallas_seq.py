@@ -170,3 +170,67 @@ def test_pallas_rsum_stream_drops_match_full():
         for a, b in zip(jax.tree.leaves((fr_d, dsc_d)),
                         jax.tree.leaves((fr_f, dsc_f))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_emit_csum_matches_cumsum():
+    # emit_csum: the softs slot holds the INCLUSIVE f32 cumsum of the
+    # soft stream, accumulated in strict stream order (the cumsum0
+    # kernel's add order).  On TPU the adds consume the same rounded
+    # f32 values the softs stream stores, so the plane bit-equals
+    # csum0(softs)[1:]; under CPU interpret the suite-wide
+    # --xla_allow_excess_precision keeps pre-store soft values at
+    # higher precision, so this cross-path comparison is tolerance'd
+    # (CLAUDE.md float-comparison rule).  rsum and the carried state
+    # are exact either way.
+    from webaudio_modem_tpu.ops import fsk_mod
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = fsk_seq.TILE
+    rng = np.random.RandomState(23)
+    sig = np.asarray(fsk_mod.modulate(params, b"csum"))
+    T = 768
+    x = (np.tile(sig[:T], (B, 1))
+         + rng.normal(0, 0.02, (B, T))).astype(np.float32)
+    state = fsk_demod.init_state(params, B)._replace(
+        bit_tail=jnp.asarray(
+            rng.randint(0, 2, (params.sync_window, B)), jnp.bfloat16))
+    fr = (state.agc_gain, state.pre, state.phi, state.iq_i, state.iq_q)
+    dsc = (state.last_phase, state.post)
+    ds = params.ds_samples_per_bit
+    ring0 = state.bit_tail[-ds:]
+
+    full = fsk_seq.seq_main(params, fr, dsc, jnp.asarray(x).T,
+                            T_blk=256, interpret=True, ring0=ring0)
+    fr_f, dsc_f, _, _, softs_f, rsum_f = full
+
+    fr_c, dsc_c, bits_c, amps_c, inc, rsum_c = fsk_seq.seq_main(
+        params, fr, dsc, jnp.asarray(x).T, T_blk=256, interpret=True,
+        ring0=ring0, emit_bits=False, emit_amps=False, emit_csum=True)
+    assert bits_c is None and amps_c is None
+    np.testing.assert_allclose(
+        np.asarray(inc),
+        np.cumsum(np.asarray(softs_f, np.float32), axis=0),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rsum_c),
+                                  np.asarray(rsum_f))
+    for a, b in zip(jax.tree.leaves((fr_c, dsc_c)),
+                    jax.tree.leaves((fr_f, dsc_f))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sequential_stage_streams_csum_wraps():
+    # streams="csum" wraps the softs slot in CsumPlane when the
+    # kernel fused the prefix sum; on the lax path (CPU default) the
+    # raw softs come back unwrapped
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    B = 8
+    rng = np.random.RandomState(29)
+    x = rng.normal(0, 0.1, (B, 512)).astype(np.float32)
+    state = fsk_demod.init_state(params, B)
+    out = fsk_demod._sequential_stage(params, 0, state,
+                                      jnp.asarray(x), with_rsum=True,
+                                      streams="csum")
+    softs = out[6]
+    # CPU: kernel unavailable at B=8 -> raw plane, not wrapped
+    assert not isinstance(softs, fsk_demod.CsumPlane)
+    assert softs.shape[0] == out[7].shape[0]

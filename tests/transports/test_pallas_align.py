@@ -106,3 +106,61 @@ class TestPallasAlign:
             interpret=True))
         exp_b = _ref_strided(csum, base_b, body_bits, ds, -1.0)
         np.testing.assert_array_equal(got_b, exp_b)
+
+
+class TestVirt0:
+    """virt0=True: the csum argument is the INCLUSIVE cumsum (the seq
+    kernel's fused emit_csum stream) and must behave exactly as if a
+    zero row were prepended — bit-identical to the zero-prefixed call
+    on concat([zeros, inc])."""
+
+    def _planes(self, rng, T):
+        softs = rng.randn(T - 1, B).astype(np.float32)
+        inc = jnp.cumsum(jnp.asarray(softs), axis=0)   # [T-1, B]
+        full = jnp.concatenate(
+            [jnp.zeros((1, B), jnp.float32), inc], 0)  # [T, B]
+        return inc, full
+
+    @pytest.mark.parametrize("pad_lo", [0, 25])
+    def test_dense_matches_full(self, pad_lo):
+        rng = np.random.RandomState(41 + pad_lo)
+        T, ds, n_out, pol = 2001, 20, 401, -1.0
+        inc, full = self._planes(rng, T)
+        max_shift = pad_lo + (T - ds) - n_out
+        base = TestPallasAlign._base(None, rng, max_shift)
+        got = np.asarray(palign.aligned_wsum(
+            inc, base, n_out, ds, stride=1, pad_lo=pad_lo,
+            polarity=pol, interpret=True, virt0=True))
+        exp = np.asarray(palign.aligned_wsum(
+            full, base, n_out, ds, stride=1, pad_lo=pad_lo,
+            polarity=pol, interpret=True))
+        np.testing.assert_array_equal(got, exp)
+
+    def test_strided_matches_full(self):
+        rng = np.random.RandomState(43)
+        T, ds, n_out, pol = 2001, 20, 91, 1.0
+        inc, full = self._planes(rng, T)
+        max_shift = (T - ds) - ((n_out - 1) * ds + 1)
+        base = TestPallasAlign._base(None, rng, max_shift)
+        got = np.asarray(palign.aligned_wsum(
+            inc, base, n_out, ds, stride=ds, polarity=pol,
+            interpret=True, virt0=True))
+        exp = np.asarray(palign.aligned_wsum(
+            full, base, n_out, ds, stride=ds, polarity=pol,
+            interpret=True))
+        np.testing.assert_array_equal(got, exp)
+
+    def test_base_zero_hits_virtual_row(self):
+        # base = 0, pad_lo = 0: the first output row is
+        # pol*(csum[ds] - csum[0]) with csum[0] the VIRTUAL zero —
+        # the spliced zero-row path in the kernel's vw()
+        rng = np.random.RandomState(47)
+        T, ds, n_out = 501, 4, 64
+        inc, full = self._planes(rng, T)
+        base = jnp.zeros((B,), jnp.int32)
+        got = np.asarray(palign.aligned_wsum(
+            inc, base, n_out, ds, interpret=True, virt0=True))
+        exp = np.asarray(palign.aligned_wsum(
+            full, base, n_out, ds, interpret=True))
+        np.testing.assert_array_equal(got, exp)
+        assert got[0, 0] == np.asarray(full)[ds, 0] * 1.0

@@ -239,3 +239,49 @@ class TestHeaderStageBitsOptional:
             params, None, softs, body_bits_n, 8, rsum)
         for a, b in zip(with_bits, without):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestHeaderStageCsumModes:
+    def test_full_mode_matches_softs_mode(self):
+        # csum_mode="full" hands the stage an already zero-prefixed
+        # cumsum; built with the same jnp.cumsum XLA runs inside
+        # _csum0's lax branch, the two calls must agree bit-exactly
+        from webaudio_modem_tpu.ops import fsk_demod
+
+        rng = np.random.RandomState(37)
+        params, payloads, noisy = TestHeaderTopK._batch(rng, 8, 9, 0.05)
+        state = fsk_demod.init_state(params, batch=len(noisy))
+        _, _, _, _, bits, _, softs, rsum = fsk_demod._sequential_stage(
+            params, 0, state, jnp.asarray(noisy), with_rsum=True)
+        body_bits_n = soft_fsk._body_coded_bits(9, 0, None)
+        full = jnp.concatenate(
+            [jnp.zeros((1, softs.shape[1]), jnp.float32),
+             jnp.cumsum(softs.astype(jnp.float32), axis=0)], 0)
+        via_softs = soft_fsk._batch_header_stage(
+            params, None, softs, body_bits_n, 8, rsum, "softs")
+        via_full = soft_fsk._batch_header_stage(
+            params, None, full, body_bits_n, 8, rsum, "full")
+        for a, b in zip(via_softs, via_full):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_body_stage_full_plane_contract(self):
+        # body stage with csum_virt0=True on an inc plane must equal
+        # the flagless call on the zero-prefixed plane (CPU downgrade
+        # path: the stage materializes the zero row internally)
+        from webaudio_modem_tpu.ops import fsk_demod
+
+        rng = np.random.RandomState(39)
+        params, payloads, noisy = TestHeaderTopK._batch(rng, 8, 9, 0.05)
+        state = fsk_demod.init_state(params, batch=len(noisy))
+        _, _, _, _, _, _, softs, _ = fsk_demod._sequential_stage(
+            params, 0, state, jnp.asarray(noisy), with_rsum=True)
+        inc = jnp.cumsum(softs.astype(jnp.float32), axis=0)
+        full = jnp.concatenate(
+            [jnp.zeros((1, softs.shape[1]), jnp.float32), inc], 0)
+        b_starts = jnp.asarray(
+            rng.randint(0, 40, softs.shape[1]), jnp.int32)
+        got = soft_fsk._batch_body_stage(params, inc, b_starts, 9,
+                                         0, None, True)
+        exp = soft_fsk._batch_body_stage(params, full, b_starts, 9,
+                                         0, None, False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))

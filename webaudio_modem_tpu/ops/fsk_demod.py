@@ -212,6 +212,15 @@ def _default_unroll() -> int:
 FORCE_LAX_SEQ = False
 
 
+class CsumPlane(NamedTuple):
+    """Marker type: the softs slot holds the INCLUSIVE f32 cumsum of
+    the soft stream (seq kernel ``emit_csum``) instead of raw softs.
+    ``inc[t]`` bit-equals ``cumsum0.csum0(softs)[t + 1]``; callers that
+    requested ``streams="csum"`` isinstance-check the slot (the kernel
+    may decline — lax fallback, prefix rows — and return raw softs)."""
+    inc: jax.Array
+
+
 def _full_rate_step(params: FSKParams, fr, x_t):
     """One full-rate sample through AGC -> pre-filter -> NCO -> I/Q LPF
     (fsk.ts:52-76, 199-202, 228-238).  fr fields are [B]."""
@@ -325,6 +334,14 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     hint is ignored (XLA DCEs unused scan outputs by itself) and the
     full planes are returned.  Retained outputs are identical either
     way.
+
+    ``"csum"`` additionally replaces the softs plane with the seq
+    kernel's fused inclusive cumsum (``CsumPlane`` wrapper in the
+    softs slot) when the kernel covers the whole stream — the fused
+    soft decode consumes softs only as its prefix sum, so the
+    separate cumsum0 pass disappears.  When the kernel can't
+    (lax path, ds_phase prefix), raw softs come back unwrapped and
+    the caller computes the prefix sum itself.
     """
     unroll = unroll or _default_unroll()
     B, T = x.shape
@@ -336,6 +353,7 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
     bits_parts, amps_parts, soft_parts = [], [], []
     ring = state.bit_tail[-ds:] if with_rsum else None
     r_parts = []     # rsum rows matching bits_parts (hybrid stitching)
+    csum_emitted = False   # kernel fused the soft prefix sum in
     pos = 0
 
     # prefix: complete the pending group carried from the last chunk
@@ -386,11 +404,16 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
                 # (a ds_phase prefix already appended lax rows)
                 whole = not bits_parts
                 run0 = jnp.sum(ring.astype(jnp.float32), 0)
+                emit_csum = streams == "csum" and whole
                 fr, dsc, bm, am, sm, rm = fsk_seq.seq_main(
                     params, fr, dsc, xm, ring0=ring, run0=run0,
-                    emit_bits=not (streams == "soft" and whole),
-                    emit_amps=not (streams in ("soft", "no_amps")
-                                   and whole))
+                    emit_bits=not (streams in ("soft", "csum")
+                                   and whole),
+                    emit_amps=not (streams in ("soft", "no_amps",
+                                               "csum") and whole),
+                    emit_csum=emit_csum)
+                if emit_csum:
+                    csum_emitted = True
                 r_parts.append(rm)
             else:
                 fr, dsc, bm, am, sm = fsk_seq.seq_main(params, fr, dsc,
@@ -462,6 +485,8 @@ def _sequential_stage(params: FSKParams, ds_phase: int, state: DemodState,
         r_parts.append((cs[ds:] - cs[:-ds]).astype(jnp.bfloat16))
     rsum = (jnp.concatenate(r_parts, 0) if r_parts
             else jnp.zeros((0, B), jnp.bfloat16))
+    if csum_emitted:
+        softs = CsumPlane(softs)
     return fr, dsc, acc_i, acc_q, bits, amps, softs, rsum
 
 

@@ -73,7 +73,7 @@ def _msb(n: int) -> int:
 
 
 def _kernel(n_wsum: int, ds: int, n_out: int, stride: int, pad_lo: int,
-            pol: float, max_shift: int,
+            pol: float, max_shift: int, virt0: bool,
             x_ref, base_ref, out_ref, y_ref):
     l = pl.program_id(0)
     b = base_ref[pl.ds(l, 1), :]                   # [1, LANES] int32
@@ -82,7 +82,14 @@ def _kernel(n_wsum: int, ds: int, n_out: int, stride: int, pad_lo: int,
     def vw(s: int, n: int):
         """Rows [s, s+n) of the virtual zero-padded wsum plane:
         pad_lo zeros, then pol*(csum[i+ds]-csum[i]) for i < n_wsum,
-        then zeros — all static slices of the csum block ref."""
+        then zeros — all static slices of the csum block ref.
+
+        With ``virt0`` the block holds the INCLUSIVE cumsum (no
+        leading zero row): csum[i] reads as x_ref[i-1] with csum[0]
+        an exact virtual zero, so wsum[i] = pol*(x[i+ds-1] - x[i-1])
+        and the i == 0 subtrahend is a zero row spliced in.  Same two
+        f32 row values, same single subtraction — bit-identical to
+        the zero-prefixed form."""
         p = min(max(pad_lo - s, 0), n)
         a0 = max(s - pad_lo, 0)
         v = max(min(n - p, n_wsum - a0), 0)
@@ -90,8 +97,19 @@ def _kernel(n_wsum: int, ds: int, n_out: int, stride: int, pad_lo: int,
         if p:
             parts.append(jnp.zeros((p, LANES), jnp.float32))
         if v:
-            parts.append(scale * (x_ref[a0 + ds: a0 + ds + v, :]
-                                  - x_ref[a0: a0 + v, :]))
+            if virt0:
+                mi = x_ref[a0 + ds - 1: a0 + ds - 1 + v, :]
+                if a0 == 0:
+                    sub = jnp.concatenate(
+                        [jnp.zeros((1, LANES), jnp.float32),
+                         x_ref[0: v - 1, :]], 0) if v > 1 else \
+                        jnp.zeros((1, LANES), jnp.float32)
+                else:
+                    sub = x_ref[a0 - 1: a0 - 1 + v, :]
+                parts.append(scale * (mi - sub))
+            else:
+                parts.append(scale * (x_ref[a0 + ds: a0 + ds + v, :]
+                                      - x_ref[a0: a0 + v, :]))
         q = n - p - v
         if q:
             parts.append(jnp.zeros((q, LANES), jnp.float32))
@@ -181,7 +199,7 @@ def _kernel(n_wsum: int, ds: int, n_out: int, stride: int, pad_lo: int,
 
 def aligned_wsum(csum, base, n_out: int, ds: int, stride: int = 1,
                  pad_lo: int = 0, polarity: float = 1.0,
-                 interpret: bool = False):
+                 interpret: bool = False, virt0: bool = False):
     """csum [T, B] f32 (zero-prefixed cumsum), base [B] int32 ->
     out [n_out, B] f32 with
 
@@ -193,16 +211,25 @@ def aligned_wsum(csum, base, n_out: int, ds: int, stride: int = 1,
     base in [0, max(pad_lo + T - ds - (n_out-1)*stride - 1, 0)] —
     the range the callers' clips produce.  ``stride`` must be 1 or
     equal to ``ds`` (the two shapes the decode dispatches).  Requires
-    ``available(B)`` (or ``interpret=True`` for the CPU test)."""
+    ``available(B)`` (or ``interpret=True`` for the CPU test).
+
+    ``virt0``: ``csum`` is the INCLUSIVE cumsum [T, B] (the seq
+    kernel's fused emit_csum stream) and behaves exactly as if a zero
+    row were prepended — output identical to
+    ``aligned_wsum(concat([zeros(1, B), csum]), ...)`` without ever
+    materializing the [T+1, B] plane in HBM."""
     return _call(csum, base, int(n_out), int(ds), int(stride),
-                 int(pad_lo), float(polarity), bool(interpret))
+                 int(pad_lo), float(polarity), bool(interpret),
+                 bool(virt0))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _call(csum, base, n_out: int, ds: int, stride: int, pad_lo: int,
-          polarity: float, interpret: bool):
+          polarity: float, interpret: bool, virt0: bool = False):
     T, B = csum.shape
-    n_wsum = T - ds
+    # virt0: one virtual zero row at csum[0] (block shapes keep the
+    # ACTUAL array rows; only the wsum-row count sees the extra row)
+    n_wsum = (T + 1 if virt0 else T) - ds
     U = (n_out - 1) * stride + 1
     max_shift = max(pad_lo + n_wsum - U, 0)
     rows_out = _round8(n_out)
@@ -214,7 +241,7 @@ def _call(csum, base, n_out: int, ds: int, stride: int, pad_lo: int,
     rows_b = B // LANES
     out = pl.pallas_call(
         functools.partial(_kernel, n_wsum, ds, n_out, stride, pad_lo,
-                          polarity, max_shift),
+                          polarity, max_shift, virt0),
         grid=(rows_b,),
         in_specs=[
             pl.BlockSpec((T, LANES), lambda l: (0, l),

@@ -129,7 +129,7 @@ def _kernel(params: FSKParams, n_groups: int, groups_per_block: int,
 
 
 def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
-              emit_bits: bool, emit_amps: bool,
+              emit_bits: bool, emit_amps: bool, emit_csum: bool,
               x_ref, state_in_ref, ring_in_ref, *refs):
     """Variant emitting the sliding ds-wide bit sums R as a 4th stream.
 
@@ -149,14 +149,31 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
     bit decision is always computed (R consumes it); with
     ``emit_amps=False`` the amp arithmetic is dead at trace time and
     never reaches Mosaic.  Retained outputs are bit-identical to the
-    full kernel's (differential test test_pallas_seq.py)."""
+    full kernel's (differential test test_pallas_seq.py).
+
+    ``emit_csum`` (static): the softs slot stores the INCLUSIVE f32
+    running cumsum of the soft stream instead of the raw softs — the
+    fused soft decode consumes the plane only as its zero-prefixed
+    prefix sum (window sums = differences of csum rows), so emitting
+    it here deletes the whole downstream cumsum0 pass (one full-plane
+    HBM read + write).  The accumulation runs acc += soft one group
+    at a time in stream order — the exact add sequence of
+    ops/pallas/cumsum0.py — so inc[t] bit-equals csum0(softs)[t+1]
+    (differential test).  The running total carries across grid
+    blocks in a VMEM scratch like the R sum."""
     from webaudio_modem_tpu.ops.fsk_demod import _group_step
     from webaudio_modem_tpu.ops.pallas.tpu_math import atan2 as tpu_atan2
 
     it = iter(refs)
     bits_ref = next(it) if emit_bits else None
     amps_ref = next(it) if emit_amps else None
-    softs_ref, rbits_ref, state_out_ref, scratch, ring_scr, run_scr = it
+    softs_ref = next(it)
+    rbits_ref = next(it)
+    state_out_ref = next(it)
+    scratch = next(it)
+    ring_scr = next(it)
+    run_scr = next(it)
+    cs_scr = next(it) if emit_csum else None
 
     t_idx = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -169,9 +186,12 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
         ring_scr[...] = ring_in_ref[...]
         run_scr[...] = jnp.sum(
             ring_in_ref[...].astype(jnp.float32), axis=0, keepdims=True)
+        if emit_csum:
+            cs_scr[...] = jnp.zeros_like(cs_scr)
 
     carry0 = _unpack_state(tuple(scratch[i] for i in range(N_STATE)))
     run0 = run_scr[0]
+    cs0 = cs_scr[0] if emit_csum else None
 
     base = t_idx * groups_per_block
     count = jnp.minimum(groups_per_block, n_groups - base)
@@ -189,7 +209,7 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
         return run
 
     def body_u(j, state):
-        carry, run = state
+        carry, run, cs = state
         slab = x_ref[pl.ds(j * (UNROLL * ratio), UNROLL * ratio)]
         bits_u, amps_u, softs_u, r_u = [], [], [], []
         g0 = base + j * UNROLL
@@ -200,7 +220,11 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
             run = r_step(g0 + u, run, bit)
             bits_u.append(bit)
             amps_u.append(amp)
-            softs_u.append(soft)
+            if emit_csum:
+                cs = cs + soft      # strict stream order: == csum0's
+                softs_u.append(cs)
+            else:
+                softs_u.append(soft)
             r_u.append(run)
         if emit_bits:
             bits_ref[pl.ds(j * UNROLL, UNROLL)] = \
@@ -210,13 +234,13 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
         softs_ref[pl.ds(j * UNROLL, UNROLL)] = jnp.stack(softs_u)
         rbits_ref[pl.ds(j * UNROLL, UNROLL)] = \
             jnp.stack(r_u).astype(jnp.bfloat16)
-        return carry, run
+        return carry, run, cs
 
-    carry, run = jax.lax.fori_loop(0, n_main_iters, body_u,
-                                   (carry0, run0))
+    state0 = (carry0, run0, cs0 if emit_csum else run0)
+    carry, run, cs = jax.lax.fori_loop(0, n_main_iters, body_u, state0)
 
     def body_tail(i, state):
-        carry, run = state
+        carry, run, cs = state
         group = tuple(x_ref[i * ratio + r] for r in range(ratio))
         carry, bit, amp, soft = _group_step(params, carry, group,
                                             atan2=tpu_atan2)
@@ -225,17 +249,23 @@ def _kernel_r(params: FSKParams, n_groups: int, groups_per_block: int,
             bits_ref[i] = bit.astype(jnp.bfloat16)
         if emit_amps:
             amps_ref[i] = amp
-        softs_ref[i] = soft
+        if emit_csum:
+            cs = cs + soft
+            softs_ref[i] = cs
+        else:
+            softs_ref[i] = soft
         rbits_ref[i] = run.astype(jnp.bfloat16)
-        return carry, run
+        return carry, run, cs
 
-    carry, run = jax.lax.fori_loop(n_main_iters * UNROLL, count,
-                                   body_tail, (carry, run))
+    carry, run, cs = jax.lax.fori_loop(n_main_iters * UNROLL, count,
+                                       body_tail, (carry, run, cs))
 
     packed = _pack_state(*carry)
     for i in range(N_STATE):
         scratch[i] = packed[i]
     run_scr[0] = run
+    if emit_csum:
+        cs_scr[0] = cs
 
     @pl.when(t_idx == n_t - 1)
     def _():
@@ -295,15 +325,16 @@ def _seq_main_call(params: FSKParams, n_groups: int, T_blk: int,
     return st_out.reshape(N_STATE, B), bits, amps, softs
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
                      interpret: bool, emit_bits: bool, emit_amps: bool,
-                     packed_state, xT, ring0):
+                     emit_csum: bool, packed_state, xT, ring0):
     """R-emitting variant: also takes the ds-deep bit ring seed
     (bit_tail[-ds:], bf16 [ds, B]) and returns (packed_state', bits,
     amps, softs, rsum [n_groups, B] bf16) — ``bits``/``amps`` are
     ``None`` when the matching emit flag is off (stream dropped at
-    the kernel level, see _kernel_r)."""
+    the kernel level, see _kernel_r); with ``emit_csum`` the softs
+    slot holds the inclusive f32 cumsum of the soft stream."""
     ratio = params.downsample_ratio
     ds = params.ds_samples_per_bit
     T_m, B = xT.shape
@@ -316,7 +347,7 @@ def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
     ring3 = ring0.reshape(ds, rows, LANES)
 
     kernel = functools.partial(_kernel_r, params, n_groups, gpb,
-                               emit_bits, emit_amps)
+                               emit_bits, emit_amps, emit_csum)
     out_stream = lambda dt: jax.ShapeDtypeStruct(  # noqa: E731
         (n_t * gpb, rows, LANES), dt)
     stream_spec = pl.BlockSpec((gpb, rows, LANES), lambda t: (t, 0, 0),
@@ -352,7 +383,8 @@ def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
             pltpu.VMEM((N_STATE, rows, LANES), jnp.float32),
             pltpu.VMEM((ds, rows, LANES), jnp.bfloat16),
             pltpu.VMEM((1, rows, LANES), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((1, rows, LANES), jnp.float32)]
+             if emit_csum else []),
         interpret=interpret,
     )(x3, st3, ring3)
 
@@ -367,7 +399,7 @@ def _seq_main_call_r(params: FSKParams, n_groups: int, T_blk: int,
 def seq_main(params: FSKParams, fr, dsc, xT_main,
              T_blk: int = 0, interpret: bool = False,
              ring0=None, run0=None, emit_bits: bool = True,
-             emit_amps: bool = True):
+             emit_amps: bool = True, emit_csum: bool = False):
     """Pallas path for the aligned main body of the sequential stage.
 
     xT_main: time-major [n_groups*ratio, B]; B must be a multiple of
@@ -383,6 +415,12 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     opaque to XLA DCE, so consumers that ignore a stream otherwise
     still pay its stores (and the amp sqrt chain).  A dropped stream
     returns ``None`` in its slot; retained outputs are bit-identical.
+
+    ``emit_csum`` (R variant only): the softs slot returns the
+    INCLUSIVE f32 running cumsum of the soft stream — bit-identical
+    to ``cumsum0.csum0(softs)[1:]`` — so the fused soft decode skips
+    its separate prefix-sum pass (align kernels take the plane with
+    ``virt0=True``).
     """
     T_m, B = xT_main.shape
     ratio = params.downsample_ratio
@@ -414,9 +452,10 @@ def seq_main(params: FSKParams, fr, dsc, xT_main,
     if ring0 is not None:
         packed, bits, amps, softs, rsum = _seq_main_call_r(
             params, n_groups, T_blk, interpret, emit_bits, emit_amps,
-            packed, xT_main, ring0)
+            emit_csum, packed, xT_main, ring0)
         fr2, dsc2 = _unpack_state(packed)
         return fr2, dsc2, bits, amps, softs, rsum
+    assert not emit_csum, "emit_csum requires the R variant (ring0)"
     packed, bits, amps, softs = _seq_main_call(
         params, n_groups, T_blk, interpret, packed, xT_main)
     fr2, dsc2 = _unpack_state(packed)

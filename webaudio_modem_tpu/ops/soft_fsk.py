@@ -719,7 +719,8 @@ def _csum0(softs):
 
 
 def _candidate_headers(params: FSKParams, csum, t_peak, gate,
-                       body_bits_n: int, top_k: int):
+                       body_bits_n: int, top_k: int,
+                       virt0: bool = False):
     """Shared header-candidate machinery: grid starts around ``t_peak``
     (stream-relative, [B] int32), barrel-aligned candidate LLR windows,
     optional top-k alignment-score pruning, and ONE batched Viterbi.
@@ -731,8 +732,20 @@ def _candidate_headers(params: FSKParams, csum, t_peak, gate,
     (starts, headers, valid) with the candidate axis min(top_k, n_off)
     (or n_off when top_k == 0), candidates ordered by DESCENDING
     alignment score when pruned.  Called under an enclosing jit.
+
+    ``virt0``: ``csum`` is the seq kernel's fused INCLUSIVE cumsum
+    [n_ds, B] (no leading zero row) — the align kernel reads it with
+    a virtual zero row prepended, bit-identical to the zero-prefixed
+    plane, without ever materializing it in HBM.  Requires the Pallas
+    align path; downgraded to a materialized zero-prefixed plane
+    otherwise (interpret/CPU safety).
     """
-    n_ds = csum.shape[0] - 1
+    from webaudio_modem_tpu.ops.pallas import align as palign
+    if virt0 and not palign.available(csum.shape[1]):
+        csum = jnp.concatenate(
+            [jnp.zeros((1, csum.shape[1]), jnp.float32), csum], 0)
+        virt0 = False
+    n_ds = csum.shape[0] - (0 if virt0 else 1)
     B = csum.shape[1]
     ds = params.ds_samples_per_bit
     h_bits = HEADER_CODED_BITS
@@ -759,15 +772,15 @@ def _candidate_headers(params: FSKParams, csum, t_peak, gate,
     # the former per-element gather, which XLA:TPU serialized
     # (measured 140 ms at B=2048 — 20x the Viterbi it fed).
     U = n_off + (h_bits - 1) * ds + 1
-    len_pad = pad_lo + (csum.shape[0] - ds)            # padded wsum rows
+    len_pad = pad_lo + (n_ds + 1 - ds)                 # padded wsum rows
     base = jnp.clip(t_peak + 1, 0, max(len_pad - U, 0))
-    from webaudio_modem_tpu.ops.pallas import align as palign
     if palign.available(B):
         # VMEM barrel (ops/pallas/align.py): one csum read instead of
         # ~0.5 GB of HBM select passes; bit-identical to the lax form
         al = palign.aligned_wsum(csum, base, U, ds, stride=1,
                                  pad_lo=pad_lo,
-                                 polarity=float(params.polarity))
+                                 polarity=float(params.polarity),
+                                 virt0=virt0)
     else:
         wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
         wsum = jnp.concatenate(
@@ -811,10 +824,10 @@ def _candidate_headers(params: FSKParams, csum, t_peak, gate,
     return starts, headers.astype(jnp.uint8), valid
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6))
 def _batch_header_stage(params: FSKParams, bits, softs,
                         body_bits_n: int = 0, top_k: int = 0,
-                        rsum=None):
+                        rsum=None, csum_mode: str = "softs"):
     """Device half 1: sync peak + header-candidate selection + ONE
     batched Viterbi over the surviving (channel x offset) candidates.
     Everything stays in HBM; only the outputs (small int planes) cross
@@ -846,8 +859,19 @@ def _batch_header_stage(params: FSKParams, bits, softs,
 
     ``bits`` may be ``None`` when ``rsum`` is given (the fused decode
     passes streams="soft" to the seq stage) — only its shape would be
-    read, and softs carries the same one."""
-    n_ds, B = softs.shape
+    read, and softs carries the same one.
+
+    ``csum_mode`` (static) says what the ``softs`` argument holds:
+    ``"softs"`` the raw soft plane [n_ds, B] (prefix sum computed
+    here, ``_csum0``); ``"inc"`` the seq kernel's fused INCLUSIVE
+    cumsum [n_ds, B] (``fsk_demod.CsumPlane.inc`` — the align kernels
+    read it with a virtual zero row, no separate cumsum pass);
+    ``"full"`` an already zero-prefixed cumsum [n_ds + 1, B]."""
+    if csum_mode == "full":
+        n_ds = softs.shape[0] - 1
+        B = softs.shape[1]
+    else:
+        n_ds, B = softs.shape
     W = params.sync_window
 
     if rsum is not None:
@@ -872,27 +896,44 @@ def _batch_header_stage(params: FSKParams, bits, softs,
     # worst case, keeping window-sum error <= ~0.1% of its magnitude
     # even at maximum frame length.  TPU f64 would be emulated and
     # slow; CRC gates any borderline flip as a clean None.
-    csum = _csum0(softs)
+    if csum_mode == "softs":
+        csum, virt0 = _csum0(softs), False
+    elif csum_mode == "full":
+        csum, virt0 = softs, False
+    else:               # "inc": the kernel-fused inclusive cumsum
+        csum, virt0 = softs, True
 
     starts, headers, valid = _candidate_headers(
-        params, csum, t_peak, peak_ok, body_bits_n, top_k)
+        params, csum, t_peak, peak_ok, body_bits_n, top_k, virt0)
     return (t_peak, peak_ok, csum, starts, headers, valid)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _batch_body_stage(params: FSKParams, csum, b_starts,
                       payload_len: int, rs_parity: int = 0,
-                      body_code=None):
+                      body_code=None, csum_virt0: bool = False):
     """Device half 2: body LLR windows at each channel's chosen grid +
     ONE batched Viterbi (+ the batched RS outer decode when the frame
     is concatenated-coded) or ONE batched block decode (LDPC min-sum /
     turbo max-log-MAP) over all
     B x n_cw codewords (``body_code`` mode).  Invalid channels decode
-    garbage at a clipped start and are masked on the host."""
+    garbage at a clipped start and are masked on the host.
+
+    ``csum_virt0`` (static): ``csum`` is the seq kernel's fused
+    INCLUSIVE cumsum (no leading zero row) — read via the align
+    kernel's virtual-zero-row mode, bit-identical to the
+    zero-prefixed plane."""
     ds = params.ds_samples_per_bit
     body_bits = _body_coded_bits(payload_len, rs_parity, body_code)
     n_body_bytes = payload_len + 2 + rs_parity
+    from webaudio_modem_tpu.ops.pallas import align as palign
+    if csum_virt0 and not palign.available(csum.shape[1]):
+        csum = jnp.concatenate(
+            [jnp.zeros((1, csum.shape[1]), jnp.float32), csum], 0)
+        csum_virt0 = False
     n_rows, B = csum.shape
+    if csum_virt0:
+        n_rows += 1                 # virtual zero row at csum[0]
     # Strided phase-decomposed alignment: the body only reads every
     # ds-th row of its window, so align the ds-times-smaller phase
     # plane instead of the full (body_bits-1)*ds+1 rows (~6x less
@@ -901,14 +942,14 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     # span exceeds the stream — already invalid under the host's mask
     # (identical values for every channel it keeps).
     U = (body_bits - 1) * ds + 1
-    n_wsum = csum.shape[0] - ds
+    n_wsum = n_rows - ds
     base = jnp.clip(b_starts, 0, max(n_wsum - U, 0))
-    from webaudio_modem_tpu.ops.pallas import align as palign
     if palign.available(B):
         # VMEM barrel — see the header-stage note; strided variant
         b_llr = palign.aligned_wsum(
             csum, base, body_bits, ds, stride=ds,
-            polarity=float(params.polarity)).T         # [B, body]
+            polarity=float(params.polarity),
+            virt0=csum_virt0).T                        # [B, body]
     else:
         wsum = jnp.float32(params.polarity) * (csum[ds:] - csum[:-ds])
         b_llr = _aligned_strided(
@@ -1030,24 +1071,39 @@ def _decode_frames_fused(params: FSKParams, samples, payload_len: int,
     h_bits = HEADER_CODED_BITS
 
     state = fsk_demod.init_state(params, batch=B)
-    # streams="soft": only softs + rsum are consumed here, so the seq
-    # kernel drops the bit/amp stores (and the amp sqrt chain) — XLA
-    # cannot DCE unused pallas_call outputs itself
+    # streams="csum": only softs + rsum are consumed here, and softs
+    # only as its prefix sum — the seq kernel drops the bit/amp
+    # stores (and the amp sqrt chain) AND emits the inclusive cumsum
+    # in the softs slot, deleting the separate cumsum0 pass.  XLA
+    # cannot DCE unused pallas_call outputs itself.
     _, _, _, _, bits, _, softs, rsum = fsk_demod._sequential_stage(
-        params, 0, state, samples, with_rsum=True, streams="soft")
+        params, 0, state, samples, with_rsum=True, streams="csum")
+
+    from webaudio_modem_tpu.ops.pallas import align as palign
+    if isinstance(softs, fsk_demod.CsumPlane):
+        if palign.available(B):
+            softs, csum_mode = softs.inc, "inc"
+        else:               # interpret-mode safety: materialize once
+            softs = jnp.concatenate(
+                [jnp.zeros((1, B), jnp.float32), softs.inc], 0)
+            csum_mode = "full"
+    else:                    # lax seq path: raw softs, prefix-sum here
+        csum_mode = "softs"
+    csum_virt0 = csum_mode == "inc"
 
     body_bits_n = _body_coded_bits(payload_len, rs_parity, body_code)
     if top_k is None:
         top_k = HEADER_TOP_K
     t_peak, peak_ok, csum, starts, headers, valid = _batch_header_stage(
-        params, bits, softs, body_bits_n, top_k, rsum)
+        params, bits, softs, body_bits_n, top_k, rsum, csum_mode)
 
     found, _, st = _select_candidate(headers, starts, valid,
                                      payload_len=payload_len)
     b_starts = jnp.where(found, st + h_bits * ds, 0).astype(jnp.int32)
 
     bodies = _batch_body_stage(params, csum, b_starts, payload_len,
-                               rs_parity, body_code)   # [B, 8*(pl+2)]
+                               rs_parity, body_code,
+                               csum_virt0)              # [B, 8*(pl+2)]
     return _pack_bodies(bodies, payload_len, found)
 
 
