@@ -12,6 +12,8 @@ Stages (the sub-programs of ``soft_fsk._decode_frames_fused`` at the
 bench shape, B=2048 / payload 16 / T=16720):
 
   full     the whole fused decode (one device program)
+  full_soft  the pre-csum-fusion composition (streams="soft" + the
+           downstream cumsum0 pass) — the A/B baseline for emit_csum
   seq      sequential demod (Pallas kernel path)
   seq_r    sequential demod, R-variant, all four streams emitted
   seq_soft sequential demod, R-variant with bit/amp streams dropped
@@ -187,6 +189,29 @@ def main() -> int:
         out = soft_fsk._decode_frames_fused(params, stk[i], payload)
         return out.astype(jnp.float32).sum()
     stages["full"] = (jit_scan(full_step), (xs,))
+
+    def full_soft_step(i, stk, st0):
+        # the PRE-csum-fusion composition of the fused decode
+        # (streams="soft" + downstream cumsum0 in the header stage) —
+        # kept as the reproducible A/B baseline for the emit_csum row
+        # in docs/PERFORMANCE.md; decoded bytes are identical
+        # (tests/transports/test_soft_batch_internals.py)
+        _, _, _, _, bits, _, softs, rsum = fsk_demod._sequential_stage(
+            params, 0, st0, stk[i], with_rsum=True, streams="soft")
+        t_peak, peak_ok, csum, starts, headers, valid = \
+            soft_fsk._batch_header_stage(params, bits, softs,
+                                         soft_fsk._body_coded_bits(
+                                             payload),
+                                         soft_fsk.HEADER_TOP_K, rsum)
+        found, _, st = soft_fsk._select_candidate(
+            headers, starts, valid, payload_len=payload)
+        b_starts = jnp.where(found, st + h_bits * ds,
+                             0).astype(jnp.int32)
+        bodies = soft_fsk._batch_body_stage(params, csum, b_starts,
+                                            payload)
+        out = soft_fsk._pack_bodies(bodies, payload, found)
+        return out.astype(jnp.float32).sum()
+    stages["full_soft"] = (jit_scan(full_soft_step), (xs, state0))
 
     def seq_step(i, stk, st0):
         # st0 rides as an operand: closed-over device arrays inline as
