@@ -97,6 +97,50 @@ def test_shard_state_replicates_0d_leaves(mesh):
     assert sharded.zbuf_i.addressable_shards[0].data.shape[1] == 2
 
 
+def test_blind_soft_receiver_on_mesh(mesh):
+    """Sharded == unsharded for the blind batched soft receiver: the
+    detector / header / body programs are pure per-channel math, so
+    running them with the receiver state sharded over the channel mesh
+    must decode the identical payloads (zero timing hints either way)."""
+    from webaudio_modem_tpu.models.config import FSKParams
+    from webaudio_modem_tpu.ops import soft_fsk
+    from webaudio_modem_tpu.ops.soft_blind import BlindSoftBatchReceiver
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    rng = np.random.RandomState(5)
+    B, quantum = 16, 4800
+    payloads = [bytes(rng.randint(0, 256, 5, dtype=np.uint8))
+                for _ in range(B)]
+    sigs = {pl: np.asarray(soft_fsk.encode_frame_signal(params, pl),
+                           np.float32) for pl in payloads}
+    offs = rng.randint(1000, 8000, size=B)
+    end = int(max(offs[b] + len(sigs[payloads[b]]) for b in range(B)))
+    T = ((end + quantum - 1) // quantum + 1) * quantum
+    stream = np.zeros((B, T), np.float32)
+    for b in range(B):
+        stream[b, offs[b]:offs[b] + len(sigs[payloads[b]])] = \
+            sigs[payloads[b]]
+
+    def run(rx):
+        got = [[] for _ in range(B)]
+        for off in range(0, T, quantum):
+            for ch, pl in rx.feed(stream[:, off:off + quantum]):
+                got[ch].append(pl)
+        for ch, pl in rx.flush():
+            got[ch].append(pl)
+        return got
+
+    rx_mesh = BlindSoftBatchReceiver(params, B, quantum, max_payload=8,
+                                     mesh=mesh)
+    assert rx_mesh._rx.ev_best.sharding == channel_sharding(mesh)
+    assert rx_mesh._rx.key.sharding.is_fully_replicated
+    got_mesh = run(rx_mesh)
+    rx_plain = BlindSoftBatchReceiver(params, B, quantum, max_payload=8)
+    got_plain = run(rx_plain)
+    assert got_mesh == got_plain == [[pl] for pl in payloads]
+    assert rx_mesh.frames_decoded == B
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
 

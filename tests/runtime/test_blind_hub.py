@@ -76,6 +76,27 @@ async def test_blind_staggered_sessions():
     assert results == payloads
 
 
+async def test_blind_hub_on_device_mesh():
+    """ARQ over the blind wire with the RECEIVER state sharded across
+    the 8-device channel mesh (mesh= threads through to
+    BlindSoftBatchReceiver): payloads exact, sharding intact."""
+    import jax
+    import pytest
+
+    from webaudio_modem_tpu.parallel.sharding import (channel_sharding,
+                                                      make_mesh)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    B = 8
+    payloads = [f"mesh blind {i}".encode() for i in range(B)]
+    hub = BlindSoftFarmHub(DEFAULT_FSK_CONFIG, B, mesh=mesh)
+    assert hub._rx["a"]._rx.ev_best.sharding == channel_sharding(mesh)
+    results, hub, _, _ = await _run_sessions(B, payloads, hub=hub)
+    assert results == payloads
+
+
 async def test_blind_lost_frame_retransmits():
     """A lost data frame (delivery suppressed once) is recovered by
     the ARQ timeout/retransmit flow over the blind wire."""

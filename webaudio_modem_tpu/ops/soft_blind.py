@@ -132,7 +132,8 @@ class BlindSoftBatchReceiver:
                  rs_parity: int = 0, body_code=None,
                  channel_fn: Optional[Callable] = None,
                  top_k: Optional[int] = None,
-                 max_payload: int = 255, seed: int = 0):
+                 max_payload: int = 255, seed: int = 0,
+                 mesh=None):
         soft_fsk._check_rs(0, rs_parity, body_code)
         if quantum % params.downsample_ratio != 0:
             raise ValueError(
@@ -187,6 +188,19 @@ class BlindSoftBatchReceiver:
             ev_open=jnp.zeros((batch,), bool),
             refract=jnp.full((batch,), params.sync_window, jnp.int32),
             key=jax.random.PRNGKey(seed))
+        if mesh is not None:
+            # channel-batch data parallelism over the mesh: every state
+            # leaf shards its [B] axis (rank rule — parallel/sharding),
+            # EXCEPT the PRNG key, whose [2] axis is key words, not
+            # channels — replicate it.  Detector/header/body programs
+            # are pure per-channel math, so XLA propagates the sharding
+            # with zero collectives (same layout as ModemFarm).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from webaudio_modem_tpu.parallel.sharding import shard_state
+
+            key = jax.device_put(self._rx.key, NamedSharding(mesh, P()))
+            placed = shard_state(self._rx._replace(key=None), mesh)
+            self._rx = placed._replace(key=key)
 
         self._detect = self._build_detector()
         self._header_prog = self._build_header_prog()

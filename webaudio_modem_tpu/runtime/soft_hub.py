@@ -311,7 +311,8 @@ class BlindSoftFarmHub(RingHubBase):
                  device_channel_fn: Optional[Callable] = None,
                  rs_parity: int = 0, body_code=None,
                  max_payload: int = 160,
-                 rx_ring_quanta: Optional[int] = None, seed: int = 0):
+                 rx_ring_quanta: Optional[int] = None, seed: int = 0,
+                 mesh=None):
         super().__init__(config, batch, quantum, ring_quanta)
         from webaudio_modem_tpu.ops.soft_blind import \
             BlindSoftBatchReceiver
@@ -328,7 +329,7 @@ class BlindSoftFarmHub(RingHubBase):
                 self._params, batch, quantum,
                 ring_quanta=rx_ring_quanta, rs_parity=rs_parity,
                 body_code=body_code, channel_fn=device_channel_fn,
-                max_payload=max_payload, seed=seed + k)
+                max_payload=max_payload, seed=seed + k, mesh=mesh)
             for k, side in enumerate(("a", "b"))}
         B, q = batch, quantum
 
