@@ -51,6 +51,32 @@ async def test_concurrent_sessions_with_device_awgn():
         assert s.get_statistics().packets_sent >= 2
 
 
+async def test_device_hub_on_mesh():
+    """The HBM-ring wire sharded over the 8-device channel mesh
+    (rings P('channels', None), demod state via shard_state, keys
+    replicated): ARQ payloads exact, pump stays sharded."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from webaudio_modem_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    B = 8
+    payloads = [f"mesh devhub {i}".encode() for i in range(B)]
+    hub = DeviceFarmHub(DEFAULT_FSK_CONFIG, B, mesh=mesh,
+                        device_channel_fn=make_device_awgn(1e-4))
+    assert hub._rings["a"].sharding == NamedSharding(
+        mesh, P("channels", None))
+    results, hub, _, _ = await _run_sessions(B, payloads, hub=hub)
+    assert results == payloads
+    # the pump's donated outputs keep the wire sharded across steps
+    assert not hub._rings["a"].sharding.is_fully_replicated
+    assert not jax.tree.leaves(hub._states["a"])[0] \
+        .sharding.is_fully_replicated
+
+
 async def test_multi_fragment_and_ring_wrap():
     """Multi-fragment transfers long enough that the ring read/write
     pointers wrap several times."""

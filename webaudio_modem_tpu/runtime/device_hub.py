@@ -62,12 +62,24 @@ class RingHubBase(FarmHubBase):
     """
 
     def __init__(self, config, batch: int, quantum: int,
-                 ring_quanta: int):
+                 ring_quanta: int, mesh=None):
         super().__init__(config, batch, quantum)
+        self.mesh = mesh
         self.ring_len = ring_quanta * quantum
         self._rings = {
             "a": jnp.zeros((batch, self.ring_len), jnp.float32),
             "b": jnp.zeros((batch, self.ring_len), jnp.float32)}
+        if mesh is not None:
+            # the wire itself shards over the channel mesh: rings are
+            # batch-FIRST [B, ring_len] (unlike the time-major demod
+            # state), so the spec is explicit rather than the
+            # shard_state rank rule.  Every ring op (write/clear/pump
+            # slice) is per-row math — XLA propagates the sharding
+            # with zero collectives.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ring_sh = NamedSharding(mesh, P("channels", None))
+            self._rings = {s: jax.device_put(r, ring_sh)
+                           for s, r in self._rings.items()}
         # host playout bookkeeping, absolute sample clock
         self._busy_until = {"a": [0] * batch, "b": [0] * batch}
         # step index -> [(channel, entry)] resolved when that step's
@@ -238,8 +250,8 @@ class DeviceFarmHub(RingHubBase):
     def __init__(self, config, batch: int, quantum: int = 4800,
                  ring_quanta: int = 16,
                  device_channel_fn: Optional[Callable] = None,
-                 seed: int = 0):
-        super().__init__(config, batch, quantum, ring_quanta)
+                 seed: int = 0, mesh=None):
+        super().__init__(config, batch, quantum, ring_quanta, mesh=mesh)
         self._ops, self._params = _resolve_family(config)
         if quantum % self._params.downsample_ratio != 0:
             raise ValueError(
@@ -249,6 +261,14 @@ class DeviceFarmHub(RingHubBase):
                         "b": self._ops.init_state(self._params, batch)}
         self._keys = {"a": jax.random.PRNGKey(seed),
                       "b": jax.random.PRNGKey(seed + 1)}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from webaudio_modem_tpu.parallel.sharding import shard_state
+            self._states = {s: shard_state(st, mesh)
+                            for s, st in self._states.items()}
+            rep = NamedSharding(mesh, P())
+            self._keys = {s: jax.device_put(k, rep)
+                          for s, k in self._keys.items()}
         self._pending_out: Dict[str, Optional[object]] = {
             "a": None, "b": None}
 

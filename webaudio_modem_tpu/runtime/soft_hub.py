@@ -106,8 +106,9 @@ class SoftFarmHub(RingHubBase):
     def __init__(self, config, batch: int, quantum: int = 4800,
                  ring_quanta: int = 24,
                  device_channel_fn: Optional[Callable] = None,
-                 rs_parity: int = 0, body_code=None, seed: int = 0):
-        super().__init__(config, batch, quantum, ring_quanta)
+                 rs_parity: int = 0, body_code=None, seed: int = 0,
+                 mesh=None):
+        super().__init__(config, batch, quantum, ring_quanta, mesh=mesh)
         self._params = FSKParams.from_config(self.config)
         if quantum % self._params.downsample_ratio != 0:
             raise ValueError(
@@ -118,6 +119,11 @@ class SoftFarmHub(RingHubBase):
         self._body = body_code
         self._keys = {"a": jax.random.PRNGKey(seed),
                       "b": jax.random.PRNGKey(seed + 1)}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            self._keys = {s: jax.device_put(k, rep)
+                          for s, k in self._keys.items()}
         # tx_side -> step index -> [_DecodeGroup] due for dispatch
         self._due: Dict[str, Dict[int, list]] = {
             "a": defaultdict(list), "b": defaultdict(list)}
@@ -313,7 +319,7 @@ class BlindSoftFarmHub(RingHubBase):
                  max_payload: int = 160,
                  rx_ring_quanta: Optional[int] = None, seed: int = 0,
                  mesh=None):
-        super().__init__(config, batch, quantum, ring_quanta)
+        super().__init__(config, batch, quantum, ring_quanta, mesh=mesh)
         from webaudio_modem_tpu.ops.soft_blind import \
             BlindSoftBatchReceiver
 
