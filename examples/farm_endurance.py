@@ -205,6 +205,19 @@ async def run(batch: int, rounds: int, payload_size: int,
               f"{t_ms('farm_hub.fetch_wait')}")
     print(f"dispatch+drain (chunk) per direction-quantum: "
           f"{t_ms('farm_hub.chunk')}")
+    print(f"event-loop yield pump per quantum:   "
+          f"{t_ms('farm_hub.yield_pump')}")
+
+    def total_s(name):
+        agg = snap.get(name)
+        return agg["mean_ms"] * agg["count"] / 1e3 if agg else 0.0
+
+    budget = {n: total_s(f"farm_hub.{n}") for n in
+              ("host_tx", "host_drain", "chunk", "yield_pump",
+               "fetch_wait")}
+    print(f"host budget totals (s): " + ", ".join(
+        f"{k}={v:.2f}" for k, v in budget.items())
+        + f" | wall {wall:.2f}")
     return 0 if ok else 1
 
 

@@ -139,6 +139,11 @@ def test_blind_soft_receiver_on_mesh(mesh):
     got_plain = run(rx_plain)
     assert got_mesh == got_plain == [[pl] for pl in payloads]
     assert rx_mesh.frames_decoded == B
+    # the donated detector state must STILL be channel-sharded after
+    # the run — a jitted step silently resharding the carry to
+    # replicated would decode fine but lose the mesh (advisor r4)
+    assert rx_mesh._rx.ev_best.sharding == channel_sharding(mesh)
+    assert rx_mesh._rx.key.sharding.is_fully_replicated
 
 
 def test_graft_entry_compiles():

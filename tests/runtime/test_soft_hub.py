@@ -179,3 +179,49 @@ async def test_back_to_back_controls_arrive_in_order():
     finally:
         hub.stop()
         await pump
+
+
+async def test_soft_hub_on_mesh():
+    """SoftFarmHub over the 8-device channel mesh (advisor r4): rings
+    stay P('channels', None), ARQ payloads exact, and the wire is
+    still sharded after the run (a jitted step silently resharding
+    to replicated would fail here)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from webaudio_modem_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    B = 8
+    payloads = [f"mesh softhub {i}".encode() for i in range(B)]
+    hub = SoftFarmHub(DEFAULT_FSK_CONFIG, B, mesh=mesh,
+                      device_channel_fn=make_device_awgn(1e-4))
+    ring_sh = NamedSharding(mesh, P("channels", None))
+    assert hub._rings["a"].sharding == ring_sh
+    results, hub, _, _ = await _run_sessions(B, payloads, hub=hub)
+    assert results == payloads
+    assert hub._rings["a"].sharding == ring_sh
+    assert hub._keys["a"].sharding.is_fully_replicated
+
+
+async def test_mesh_batch_divisibility_validated():
+    """A batch that does not divide the channel mesh fails fast with a
+    clear error, not an opaque device_put sharding error (advisor r4)."""
+    import jax
+
+    from webaudio_modem_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="must divide the mesh"):
+        SoftFarmHub(DEFAULT_FSK_CONFIG, 12, mesh=mesh)
+    from webaudio_modem_tpu.models.config import FSKParams
+    from webaudio_modem_tpu.ops.soft_blind import BlindSoftBatchReceiver
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    with pytest.raises(ValueError, match="must divide the mesh"):
+        BlindSoftBatchReceiver(params, 12, 4800, max_payload=8,
+                               mesh=mesh)

@@ -56,3 +56,15 @@ def test_hub_construction_guarded(caplog):
         FarmLoopbackHub(DEFAULT_FSK_CONFIG, 1152)
     assert any("non-power-of-two sublane row count" in r.message
                for r in caplog.records)
+
+
+def test_blind_receiver_guarded(caplog):
+    _fresh()
+    from webaudio_modem_tpu.models.config import FSKParams
+    from webaudio_modem_tpu.ops.soft_blind import BlindSoftBatchReceiver
+
+    params = FSKParams.from_config(DEFAULT_FSK_CONFIG)
+    with caplog.at_level(logging.WARNING):
+        BlindSoftBatchReceiver(params, 1536, 4800, max_payload=8)
+    assert any("non-power-of-two sublane row count" in r.message
+               for r in caplog.records)

@@ -134,6 +134,14 @@ class BlindSoftBatchReceiver:
                  top_k: Optional[int] = None,
                  max_payload: int = 255, seed: int = 0,
                  mesh=None):
+        from webaudio_modem_tpu.utils.batch_guard import check_batch_shape
+
+        check_batch_shape(batch, type(self).__name__)
+        if mesh is not None:
+            from webaudio_modem_tpu.parallel.sharding import \
+                check_mesh_batch
+
+            check_mesh_batch(batch, mesh, type(self).__name__)
         soft_fsk._check_rs(0, rs_parity, body_code)
         if quantum % params.downsample_ratio != 0:
             raise ValueError(
@@ -375,7 +383,8 @@ class BlindSoftBatchReceiver:
         j = self._fed
         out: List[Tuple[int, bytes]] = []
         # 1. events from already-fetched detector quanta (<= j-1)
-        self._collect_events()
+        with metrics.timer("blind_rx.collect_events"):
+            self._collect_events()
         # 2. detector for quantum j (ring gains quantum j)
         samples = jnp.asarray(samples, jnp.float32)
         if samples.shape != (self.batch, self.quantum):
@@ -383,24 +392,30 @@ class BlindSoftBatchReceiver:
                              f"{self.quantum}], got {samples.shape}")
         tick0 = np.int32(j * self._n_ds)
         woff = np.int32((j % self._n_slots) * self._n_ds)
-        self._rx, emits = self._detect(self._rx, samples, tick0, woff)
-        for e in emits:
-            try:
-                e.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
+        with metrics.timer("blind_rx.detect_dispatch"):
+            self._rx, emits = self._detect(self._rx, samples, tick0,
+                                           woff)
+            for e in emits:
+                try:
+                    e.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
         self._pend_detect.append((j, emits))
         self._fed = j + 1
         # 3. finalize header/body results dispatched on earlier feeds
-        self._finalize_headers()
-        self._finalize_bodies()
+        with metrics.timer("blind_rx.finalize"):
+            self._finalize_headers()
+            self._finalize_bodies()
         # 4. dispatch due header groups (events complete at q <= j-2,
         # window quanta q-1..q+K_h-2 all written since K_h-2 <= j)
-        self._dispatch_headers()
+        with metrics.timer("blind_rx.dispatch_headers"):
+            self._dispatch_headers()
         # 5. dispatch due body groups
-        self._dispatch_bodies()
+        with metrics.timer("blind_rx.dispatch_bodies"):
+            self._dispatch_bodies()
         # 6. deliver resolved frames in per-channel temporal order
-        out.extend(self._emit_ready())
+        with metrics.timer("blind_rx.emit_ready"):
+            out.extend(self._emit_ready())
         return out
 
     # -- pipeline stages ------------------------------------------------------

@@ -42,6 +42,21 @@ def channel_sharding(mesh: Mesh,
     return NamedSharding(mesh, P(axis_name))
 
 
+def check_mesh_batch(batch: int, mesh: Mesh, who: str,
+                     axis_name: str = CHANNEL_AXIS) -> None:
+    """Fail fast (clear ValueError) when ``batch`` does not divide the
+    channel mesh axis: ``jax.device_put`` of a [B] leaf over
+    ``P(channels)`` otherwise raises an opaque sharding error deep in
+    construction."""
+    n = mesh.shape.get(axis_name, 1) if hasattr(mesh, "shape") else 1
+    if n and batch % n != 0:
+        raise ValueError(
+            f"{who}(batch={batch}, mesh={n} devices on "
+            f"'{axis_name}'): the channel batch must divide the mesh "
+            f"evenly — every [B] state leaf shards over P('{axis_name}')"
+            f"; use a batch that is a multiple of {n}")
+
+
 def shard_state(state, mesh: Mesh, axis_name: str = CHANNEL_AXIS):
     """Place a demod-state pytree with the channel axis sharded over
     ``mesh``.  Channel position by leaf rank: 1-D leaves are [B];

@@ -64,6 +64,11 @@ class RingHubBase(FarmHubBase):
     def __init__(self, config, batch: int, quantum: int,
                  ring_quanta: int, mesh=None):
         super().__init__(config, batch, quantum)
+        if mesh is not None:
+            from webaudio_modem_tpu.parallel.sharding import \
+                check_mesh_batch
+
+            check_mesh_batch(batch, mesh, type(self).__name__)
         self.mesh = mesh
         self.ring_len = ring_quanta * quantum
         self._rings = {

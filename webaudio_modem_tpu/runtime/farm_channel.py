@@ -140,6 +140,16 @@ class FarmDataChannel(IDataChannel):
             raise
 
     async def _get(self, queue: asyncio.Queue, signal):
+        # sync fast path: after a hub drain the item is usually already
+        # queued — popping it here skips task creation and two event-loop
+        # hops per protocol wait (x 4096 sessions per quantum)
+        if not queue.empty():
+            if signal is not None:
+                signal.throw_if_aborted()
+            item = queue.get_nowait()
+            if isinstance(item, Exception):
+                raise item
+            return item
         get_task = asyncio.ensure_future(queue.get())
         self._pending_gets.append(get_task)
         gen = self._reset_gen
@@ -347,13 +357,24 @@ class FarmHubBase:
             frames_by_ch: Dict[int, List[Frame]] = defaultdict(list)
             for ch, frame in events:
                 frames_by_ch[ch].append(frame)
+            views = self._channels
             for b in np.nonzero(counts)[0]:
                 b = int(b)
-                piece = bytes(vals[b, :counts[b]])
                 # auto-create the view so bytes decoded before anyone
                 # asked for the channel are not lost
-                self.channel(rx_side, b)._deliver(
-                    piece, frames_by_ch.get(b, ()))
+                view = views.get((rx_side, b)) \
+                    or self.channel(rx_side, b)
+                frames = frames_by_ch.get(b, ())
+                if view._frame_consumer and not view._byte_consumer:
+                    # frame-only consumer (the farm ARQ fast path):
+                    # the raw byte piece would be dropped by _deliver
+                    # anyway — skip building it, and skip the call
+                    # entirely on frameless quanta (partial packets
+                    # still buffered inside the native deframer)
+                    if frames:
+                        view._deliver(b"", frames)
+                    continue
+                view._deliver(bytes(vals[b, :counts[b]]), frames)
 
     # -- pump loop ----------------------------------------------------------
 
@@ -390,8 +411,12 @@ class FarmHubBase:
                 idle = 0 if busy else idle + 1
                 if idle_limit is not None and idle >= idle_limit:
                     break
-                for _ in range(max(1, yields_per_step)):
-                    await asyncio.sleep(0)
+                # timed: at 4096 sessions the transport coroutines'
+                # protocol work all happens inside these yields — it is
+                # host cost per quantum exactly like tx/drain
+                with metrics.timer("farm_hub.yield_pump"):
+                    for _ in range(max(1, yields_per_step)):
+                        await asyncio.sleep(0)
         finally:
             self._running = False
             self.flush()

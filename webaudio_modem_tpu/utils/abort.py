@@ -138,23 +138,33 @@ async def race_abort(awaitable: Awaitable[T],
     The analog of the reference's promise-vs-abort races
     (fsk-processor.ts:98-110, webaudio-data-channel.ts:102-126).
     The losing task is cancelled.
+
+    Implemented as a synchronous abort listener that cancels the task —
+    NOT as a second ``signal.wait()`` task plus ``asyncio.wait``: at
+    4096 concurrent ARQ sessions every protocol hop goes through here,
+    and the two-task race costs 3x the listener form (36 vs 12 us/hop,
+    measured — docs/PERFORMANCE.md round 5).
     """
     if signal is None:
         return await awaitable
     signal.throw_if_aborted()
     task = asyncio.ensure_future(awaitable)
-    abort_task = asyncio.ensure_future(signal.wait())
+
+    def on_abort() -> None:
+        if not task.done():
+            task.cancel()
+
+    signal.add_listener(on_abort)
     try:
-        done, _ = await asyncio.wait(
-            {task, abort_task}, return_when=asyncio.FIRST_COMPLETED)
-        if task in done:
-            return task.result()
-        raise AbortError(reason=signal.reason)
+        return await task
+    except asyncio.CancelledError:
+        if signal.aborted:
+            raise AbortError(reason=signal.reason)
+        raise
     finally:
-        for t in (task, abort_task):
-            if not t.done():
-                t.cancel()
-                try:
-                    await t
-                except (asyncio.CancelledError, Exception):
-                    pass
+        signal.remove_listener(on_abort)
+        # the caller itself being cancelled mid-await cancels ``task``
+        # (asyncio cancels the awaited future); this covers exotic
+        # wrappers where it might not
+        if not task.done():
+            task.cancel()
