@@ -285,3 +285,40 @@ class TestHeaderStageCsumModes:
         exp = soft_fsk._batch_body_stage(params, full, b_starts, 9,
                                          0, None, False)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+class TestDeviceFrameSynthesis:
+    """frames_synth_device_fn == encode_frames_batch, bit-exact in
+    sample values: same int32 phase accumulators (MXU triangular-
+    matmul ones-prefix), same f32 sin expansion (round-5 TX upload
+    elimination — the soft hubs launch cohorts from a [B, pl] byte
+    upload instead of host-framed phase tables)."""
+
+    def test_matches_host_framing_exactly(self):
+        from webaudio_modem_tpu.models.config import (DEFAULT_FSK_CONFIG,
+                                                      FSKConfig)
+
+        rng = np.random.RandomState(11)
+        for cfg in (DEFAULT_FSK_CONFIG,
+                    FSKConfig(baud_rate=300, mark_frequency=1270,
+                              space_frequency=1070)):
+            params = FSKParams.from_config(cfg)
+            for pl in (1, 46):
+                B = 8
+                payloads = [bytes(rng.randint(0, 256, pl,
+                                              dtype=np.uint8))
+                            for _ in range(B)]
+                host = np.asarray(
+                    soft_fsk.encode_frames_batch(params, payloads))
+                fn = soft_fsk.frames_synth_device_fn(params, pl)
+                pay = np.frombuffer(b"".join(payloads), np.uint8) \
+                    .reshape(B, pl)
+                dev = np.asarray(fn(jnp.asarray(pay)))
+                np.testing.assert_array_equal(host, dev)
+
+    def test_non_integer_config_falls_back(self):
+        from webaudio_modem_tpu.models.config import FSKConfig
+
+        params = FSKParams.from_config(
+            FSKConfig(mark_frequency=1650.5))
+        assert soft_fsk.frames_synth_device_fn(params, 4) is None

@@ -221,6 +221,114 @@ def encode_frames_batch(params: FSKParams, payloads,
                           (lead, trail))
 
 
+@functools.lru_cache(maxsize=None)
+def frames_synth_device_fn(params: FSKParams, payload_len: int):
+    """Jitted ``[B, payload_len] uint8 payload plane -> [B, T] f32``
+    frame synthesis ENTIRELY on device (conv body, no RS/block code).
+
+    ``encode_frames_batch`` frames on the host and uploads int32 phase
+    prefixes + int8 bits — ~17 MB per cohort at B=4096 through the
+    chip tunnel, the soft farm hub's dominant launch cost (measured,
+    docs/PERFORMANCE.md round 5).  This variant uploads ONLY the raw
+    payload bytes (~190 KB at B=4096) and runs framing + synthesis as
+    one program:
+
+      * CRC16 per row: the batched device bit-scan
+        (``_crc16_bits_device``) over the payload bits.
+      * rate-1/2 K=7 conv encode: the same shifted-column XOR form as
+        ``fec.conv_encode_bits_batch``, in jnp.
+      * exact integer phase prefix: within the coded-body region the
+        per-bit advance takes only two values, so the exclusive
+        prefix is ``head_total + space_step*i + (mark-space) *
+        ones_before_i`` — the ones-count prefix is an MXU triangular
+        f32 matmul (counts < 2^24, exact; avoids the pathological
+        XLA:TPU cumsum compile noted in ``fsk_mod._phase_acc_int``).
+      * shared sin expansion + lead/trail pad as ``fsk_mod._synth_int``.
+
+    Signals are bit-identical in sample values to
+    ``encode_frames_batch`` (same int32 accumulators, same f32 ops —
+    held by tests/transports/test_soft_batch_internals.py
+    TestDeviceFrameSynthesis).
+    Returns None when the config has non-integer frequencies (callers
+    fall back to the host framing path)."""
+    if not fsk_mod._int_config(params):
+        return None
+    K = fec.K
+    pattern = np.asarray(params.pattern_bits, np.int64)
+    hdr = fec.conv_encode_bits(fec.bytes_to_bits(
+        fec.build_frame_header(payload_len))).astype(np.int64)
+    head_bits = np.concatenate([pattern, hdr])            # [P+H]
+    spb = params.samples_per_bit
+    fs = int(params.sample_rate)
+    mark_step = int(params.mark_freq) * spb % fs
+    space_step = int(params.space_freq) * spb % fs
+    # exclusive integer phase prefix over the shared head bits (host,
+    # once per (params, payload_len))
+    head_steps = np.where(head_bits == 1, mark_step, space_step)
+    head_acc = (np.cumsum(head_steps) - head_steps) % fs
+    head_total = int(head_steps.sum())
+    nb = 2 * (8 * (payload_len + 2) + K - 1)   # coded body bits
+    # ones_before_i = coded @ M, M[j, i] = 1 for j < i (strict upper)
+    M = np.triu(np.ones((nb, nb), np.float32), 1)
+    lead = spb * 2
+    trail = params.bits_per_byte * spb
+    two_pi = 2.0 * np.pi
+    head_bits_j = jnp.asarray(head_bits, jnp.int32)
+    head_acc_j = jnp.asarray(head_acc, jnp.int32)
+    M_j = jnp.asarray(M)
+
+    @jax.jit
+    def synth(pay):                            # [B, payload_len] uint8
+        B = pay.shape[0]
+        pay = pay.astype(jnp.int32)
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+        pbits = ((pay[:, :, None] >> shifts[None, None, :]) & 1) \
+            .reshape(B, -1)                    # [B, 8*pl] MSB-first
+        crc = _crc16_bits_device(pbits)        # [B] int32
+        crc_bits = (crc[:, None]
+                    >> jnp.arange(15, -1, -1, dtype=jnp.int32)) & 1
+        body_bits = jnp.concatenate([pbits, crc_bits], axis=1)
+        n = body_bits.shape[1]                 # 8*(pl+2)
+        padded = jnp.concatenate(
+            [jnp.zeros((B, K - 1), jnp.int32), body_bits,
+             jnp.zeros((B, K - 1), jnp.int32)], axis=1)
+        streams = []
+        for g in (fec.G0, fec.G1):
+            acc = jnp.zeros((B, n + K - 1), jnp.int32)
+            for j in range(K):
+                if (g >> (K - 1 - j)) & 1:
+                    acc = acc ^ jax.lax.slice_in_dim(
+                        padded, j, j + n + K - 1, axis=1)
+            streams.append(acc)
+        coded = jnp.stack(streams, axis=2).reshape(B, nb)
+        ones_before = jnp.round(
+            coded.astype(jnp.float32) @ M_j).astype(jnp.int32)
+        body_acc = (jnp.int32(head_total)
+                    + jnp.int32(space_step)
+                    * jnp.arange(nb, dtype=jnp.int32)[None, :]
+                    + jnp.int32(mark_step - space_step) * ones_before) \
+            % jnp.int32(fs)
+        acc = jnp.concatenate(
+            [jnp.broadcast_to(head_acc_j[None, :],
+                              (B, head_acc_j.shape[0])), body_acc],
+            axis=1)
+        bits = jnp.concatenate(
+            [jnp.broadcast_to(head_bits_j[None, :],
+                              (B, head_bits_j.shape[0])), coded],
+            axis=1)
+        # shared sin expansion (fsk_mod._synth_int semantics)
+        offsets = acc.astype(jnp.float32) * jnp.float32(two_pi / fs)
+        omega = jnp.where(
+            bits == 1, jnp.float32(two_pi * params.mark_freq / fs),
+            jnp.float32(two_pi * params.space_freq / fs))
+        k = jnp.arange(spb, dtype=jnp.float32)
+        sig = jnp.sin(offsets[..., None] + omega[..., None] * k)
+        sig = sig.reshape(B, -1)
+        return jnp.pad(sig, ((0, 0), (lead, trail)))
+
+    return synth
+
+
 def frame_signal_length(params: FSKParams, payload_len: int,
                         rs_parity: int = 0, body_code=None) -> int:
     _check_rs(payload_len, rs_parity, body_code)

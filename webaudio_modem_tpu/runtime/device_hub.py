@@ -103,6 +103,20 @@ class RingHubBase(FarmHubBase):
             win = win * (1.0 - mask[:, None]) + sig * mask[:, None]
             return jax.lax.dynamic_update_slice(ring, win, (0, woff))
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _ring_write_row(ring, row, mask, woff):
+            """Uniform-cohort write: every masked row carries the SAME
+            [L] signal, broadcast inside the program.  Control traffic
+            (ACK/NAK/EOT floods) re-uses one cached synthesized row, so
+            the launch uploads nothing but the [B] mask — the full-B
+            synthesis was ~17 MB of phase tables through the tunnel per
+            cohort at B=4096 (docs/PERFORMANCE.md round 5)."""
+            win = jax.lax.dynamic_slice(
+                ring, (0, woff), (ring.shape[0], row.shape[0]))
+            win = win * (1.0 - mask[:, None]) \
+                + row[None, :] * mask[:, None]
+            return jax.lax.dynamic_update_slice(ring, win, (0, woff))
+
         @functools.partial(jax.jit, static_argnums=(3,),
                            donate_argnums=(0,))
         def _ring_clear(ring, keep, coff, width):
@@ -113,7 +127,11 @@ class RingHubBase(FarmHubBase):
             return jax.lax.dynamic_update_slice(ring, win, (0, coff))
 
         self._ring_write = _ring_write
+        self._ring_write_row = _ring_write_row
         self._ring_clear = _ring_clear
+        # data -> (padded [Lpad] device row, true signal length T) for
+        # uniform cohorts; bounded (control bytes dominate: 3 entries)
+        self._uniform_rows: Dict[bytes, tuple] = {}
 
     # -- TX: device-resident playout ----------------------------------------
 
@@ -155,15 +173,41 @@ class RingHubBase(FarmHubBase):
             self._pending_tx[side][i].appendleft(e)
             self._ready_tx[side].add(i)
 
+    def _uniform_row(self, side: str, data: bytes):
+        """Cached padded [Lpad] device row for a uniform cohort (every
+        launchable message identical — control floods).  Synthesized at
+        B=1 once per distinct message; later launches upload only the
+        [B] mask."""
+        hit = self._uniform_rows.get(data)
+        if hit is None:
+            sig = self._synth_full(side, [data])          # [1, T]
+            T = int(sig.shape[1])
+            Lpad = self._quanta(T)
+            row = sig[0]
+            if Lpad != T:
+                row = jnp.pad(row, (0, Lpad - T))
+            if len(self._uniform_rows) >= 16:
+                self._uniform_rows.clear()
+            hit = self._uniform_rows[data] = (row, T)
+        return hit
+
     def _write_group(self, side: str, w: int, t_read: int,
                      rows, datas, entries, length: int) -> None:
-        # full-B synthesis with a row mask: in the farm-flood case every
-        # row transmits anyway, and the masked form needs no scatter
-        msgs_full = [datas[0]] * self.batch
-        for i, d in zip(rows, datas):
-            msgs_full[i] = d
-        sig = self._synth_full(side, msgs_full)           # device
-        T = int(sig.shape[1])
+        # uniform cohorts (control floods: every message identical)
+        # reuse one cached synthesized row and upload only the mask
+        uniform = all(d == datas[0] for d in datas)
+        if uniform:
+            row, T = self._uniform_row(side, datas[0])
+            sig = None
+        else:
+            # full-B synthesis with a row mask: in the farm-flood case
+            # every row transmits anyway, and the masked form needs no
+            # scatter
+            msgs_full = [datas[0]] * self.batch
+            for i, d in zip(rows, datas):
+                msgs_full[i] = d
+            sig = self._synth_full(side, msgs_full)       # device
+            T = int(sig.shape[1])
         Lpad = self._quanta(T)
         if w + Lpad - t_read > self.ring_len:
             if Lpad + self.quantum > self.ring_len:
@@ -177,18 +221,29 @@ class RingHubBase(FarmHubBase):
         mask = np.zeros((self.batch,), np.float32)
         mask[rows] = 1.0
         mask = jnp.asarray(mask)
-        if Lpad != T:
-            sig = jnp.pad(sig, ((0, 0), (0, Lpad - T)))
         woff = w % self.ring_len
         ring = self._rings[side]
-        if woff + Lpad <= self.ring_len:
-            ring = self._ring_write(ring, sig, mask, np.int32(woff))
+        if uniform:
+            if woff + Lpad <= self.ring_len:
+                ring = self._ring_write_row(ring, row, mask,
+                                            np.int32(woff))
+            else:
+                n1 = self.ring_len - woff
+                ring = self._ring_write_row(ring, row[:n1], mask,
+                                            np.int32(woff))
+                ring = self._ring_write_row(ring, row[n1:], mask,
+                                            np.int32(0))
         else:
-            n1 = self.ring_len - woff
-            ring = self._ring_write(ring, sig[:, :n1], mask,
-                                    np.int32(woff))
-            ring = self._ring_write(ring, sig[:, n1:], mask,
-                                    np.int32(0))
+            if Lpad != T:
+                sig = jnp.pad(sig, ((0, 0), (0, Lpad - T)))
+            if woff + Lpad <= self.ring_len:
+                ring = self._ring_write(ring, sig, mask, np.int32(woff))
+            else:
+                n1 = self.ring_len - woff
+                ring = self._ring_write(ring, sig[:, :n1], mask,
+                                        np.int32(woff))
+                ring = self._ring_write(ring, sig[:, n1:], mask,
+                                        np.int32(0))
         self._rings[side] = ring
         s_end = (w + T - 1) // self.quantum
         for i, e in zip(rows, entries):

@@ -58,6 +58,24 @@ from webaudio_modem_tpu.runtime.device_hub import RingHubBase
 from webaudio_modem_tpu.utils.trace import metrics
 
 
+def _soft_synth(params, datas, rs_parity, body_code) -> "jax.Array":
+    """Cohort synthesis for the soft wire.  The conv-default coding
+    frames + synthesizes ON DEVICE from a [B, pl] payload-byte upload
+    (~190 KB at B=4096 vs ~17 MB of host-framed phase tables through
+    the tunnel — soft_fsk.frames_synth_device_fn); RS/block bodies and
+    non-integer configs fall back to the host framing path."""
+    from webaudio_modem_tpu.ops import soft_fsk
+
+    if rs_parity == 0 and body_code is None and datas:
+        fn = soft_fsk.frames_synth_device_fn(params, len(datas[0]))
+        if fn is not None:
+            pay = np.frombuffer(b"".join(datas), np.uint8) \
+                .reshape(len(datas), len(datas[0]))
+            return fn(jnp.asarray(pay))
+    return soft_fsk.encode_frames_batch(
+        params, datas, rs_parity=rs_parity, body_code=body_code)
+
+
 class _DecodeGroup:
     """One scheduled window decode: the cohort rows whose frames play
     out in [w, w+Lpad), decoded together when the window completes."""
@@ -140,11 +158,7 @@ class SoftFarmHub(RingHubBase):
     # -- TX: FEC frame synthesis --------------------------------------------
 
     def _synth_full(self, side: str, datas) -> "jax.Array":
-        from webaudio_modem_tpu.ops import soft_fsk
-
-        return soft_fsk.encode_frames_batch(
-            self._params, datas, rs_parity=self._rs,
-            body_code=self._body)
+        return _soft_synth(self._params, datas, self._rs, self._body)
 
     def _on_group_written(self, side: str, w: int, Lpad: int, T: int,
                           rows, entries, length: int) -> None:
@@ -351,11 +365,7 @@ class BlindSoftFarmHub(RingHubBase):
     # -- TX: FEC frame synthesis (same wire as SoftFarmHub) ------------------
 
     def _synth_full(self, side: str, datas) -> "jax.Array":
-        from webaudio_modem_tpu.ops import soft_fsk
-
-        return soft_fsk.encode_frames_batch(
-            self._params, datas, rs_parity=self._rs,
-            body_code=self._body)
+        return _soft_synth(self._params, datas, self._rs, self._body)
 
     # -- the pump -------------------------------------------------------------
 
