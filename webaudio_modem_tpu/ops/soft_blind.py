@@ -81,10 +81,6 @@ class _Frame:
         self.done = False
         self.payload: Optional[bytes] = None
 
-    def resolve(self, payload: Optional[bytes], dirty: set) -> None:
-        self.done = True
-        self.payload = payload
-        dirty.add(self.ch)
 
 
 class _RxState(NamedTuple):
@@ -214,13 +210,21 @@ class BlindSoftBatchReceiver:
         self._header_prog = self._build_header_prog()
         self._body_progs: Dict[int, Callable] = {}
 
-        # host pipeline
+        # host pipeline.  Detected events stay STRUCT-OF-ARRAYS until
+        # header dispatch (cohort-aligned arrivals — all B channels
+        # closing an event in one quantum, the farm-ARQ worst case —
+        # were 6.8 ms/quantum of per-event Python at B=4096 with the
+        # frame-per-event form; the array form collects them in ~0.1 ms,
+        # examples/blind_host_cost.py).  _Frame objects materialize at
+        # dispatch, where the per-channel FIFO needs them.
         self._fed = 0                 # quanta fully fed
         self._pend_detect: deque = deque()   # (qidx, emit device arrays)
-        self._events: Dict[int, List[_Frame]] = defaultdict(list)
+        # qidx -> ordered [(chs i64[n], poss i32[n])] detected chunks
+        self._events: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] \
+            = defaultdict(list)
         self._pend_hdr: deque = deque()      # (feed, q0, frames, outs)
-        self._body_groups: Dict[Tuple[int, int],
-                                List[Tuple[_Frame, int]]] \
+        # (q0, ln) -> [(frames, chs i64[n], b_rels i32[n])] chunks
+        self._body_groups: Dict[Tuple[int, int], List[tuple]] \
             = defaultdict(list)
         self._pend_body: deque = deque()     # (feed, ln, frames, dev)
         # per-channel FIFO of unresolved/undelivered frames, plus the
@@ -421,19 +425,29 @@ class BlindSoftBatchReceiver:
     # -- pipeline stages ------------------------------------------------------
 
     def _collect_events(self) -> None:
+        n_ds = self._n_ds
         while self._pend_detect and self._pend_detect[0][0] < self._fed:
             _, (emit_a, pos_a, emit_b, pos_b) = \
                 self._pend_detect.popleft()
             # phase-1 closes carry earlier peaks than phase-2 closes
-            # of the same quantum: collecting a before b keeps every
-            # channel FIFO temporal
+            # of the same quantum: keeping chunk a before chunk b (and
+            # dispatch scanning chunks in order) keeps every channel
+            # FIFO temporal
             for ok, pos in ((np.asarray(emit_a), np.asarray(pos_a)),
                             (np.asarray(emit_b), np.asarray(pos_b))):
-                for ch in np.nonzero(ok)[0]:
-                    f = _Frame(int(ch), int(pos[ch]))
-                    self._events[f.pos // self._n_ds].append(f)
-                    self._fifo[f.ch].append(f)
-                    self.events_detected += 1
+                chs = np.nonzero(ok)[0]
+                if chs.size == 0:
+                    continue
+                poss = pos[chs]
+                self.events_detected += int(chs.size)
+                qidx = poss // n_ds
+                lo = int(qidx.min())
+                if int(qidx.max()) == lo:        # common: one quantum
+                    self._events[lo].append((chs, poss))
+                else:                            # straddles a boundary
+                    for q in np.unique(qidx).tolist():
+                        m = qidx == q
+                        self._events[q].append((chs[m], poss[m]))
 
     def _dispatch_headers(self) -> None:
         j = self._fed - 1   # newest written quantum = current feed idx
@@ -443,29 +457,52 @@ class BlindSoftBatchReceiver:
         due = [q for q in self._events
                if q <= j - 2 and q + self._K_h - 2 <= j]
         for q in sorted(due):
-            evs = self._events.pop(q)
+            chunks = self._events.pop(q)
             q0 = max(q - 1, 0)
             if q0 <= j - self._n_slots:   # window slot already recycled
-                self.dropped_ring += len(evs)
-                for f in evs:
-                    f.resolve(None, self._dirty)
+                # never materialized: a dropped event emits nothing, so
+                # skipping the FIFO cannot reorder later frames
+                self.dropped_ring += sum(int(c.size) for c, _ in chunks)
                 continue
-            # one wave per duplicate channel (rare: a false crossing
-            # and a true peak landing in the same quantum)
-            waves: List[Dict[int, _Frame]] = []
-            for f in evs:
-                for w in waves:
-                    if f.ch not in w:
-                        w[f.ch] = f
-                        break
+            if len(chunks) == 1:
+                chs, poss = chunks[0]
+            else:
+                chs = np.concatenate([c for c, _ in chunks])
+                poss = np.concatenate([p for _, p in chunks])
+            # occurrence index per channel (stable): occ==w -> wave w.
+            # One wave per duplicate channel (rare: a false crossing
+            # and a true peak landing in the same quantum); chunk order
+            # is temporal, so stable occurrence numbering keeps each
+            # channel's FIFO temporal.
+            order = np.argsort(chs, kind="stable")
+            sorted_chs = chs[order]
+            run_start = np.empty(chs.size, bool)
+            run_start[0] = True
+            np.not_equal(sorted_chs[1:], sorted_chs[:-1],
+                         out=run_start[1:])
+            starts = np.nonzero(run_start)[0]
+            occ_sorted = np.arange(chs.size, dtype=np.int64) \
+                - np.repeat(starts, np.diff(
+                    np.append(starts, chs.size)))
+            occ = np.empty(chs.size, np.int64)
+            occ[order] = occ_sorted
+            n_waves = int(occ.max()) + 1 if chs.size else 0
+            rel_all = (poss - q0 * self._n_ds).astype(np.int32)
+            for w in range(n_waves):
+                if n_waves == 1:
+                    wchs, wrel, wposs = chs, rel_all, poss
                 else:
-                    waves.append({f.ch: f})
-            for wave in waves:
+                    m = occ == w
+                    wchs, wrel, wposs = chs[m], rel_all[m], poss[m]
+                frames = list(map(_Frame, wchs.tolist(),
+                                  wposs.tolist()))
+                fifo = self._fifo
+                for c, f in zip(wchs.tolist(), frames):
+                    fifo[c].append(f)
                 t_rel = np.zeros((self.batch,), np.int32)
                 act = np.zeros((self.batch,), bool)
-                for f in wave.values():
-                    t_rel[f.ch] = f.pos - q0 * self._n_ds
-                    act[f.ch] = True
+                t_rel[wchs] = wrel
+                act[wchs] = True
                 outs = self._header_prog(self._rx.ring, np.int32(q0),
                                          jnp.asarray(t_rel),
                                          jnp.asarray(act))
@@ -474,41 +511,69 @@ class BlindSoftBatchReceiver:
                         o.copy_to_host_async()
                     except (AttributeError, NotImplementedError):
                         pass
-                self._pend_hdr.append((self._fed, q0,
-                                       list(wave.values()), outs))
+                self._pend_hdr.append((self._fed, q0, frames, wchs,
+                                       outs))
 
     def _finalize_headers(self) -> None:
+        h_span = soft_fsk.HEADER_CODED_BITS \
+            * self._params.ds_samples_per_bit
         while self._pend_hdr and self._pend_hdr[0][0] < self._fed:
-            _, q0, frames, (found, ln, st) = self._pend_hdr.popleft()
+            _, q0, frames, chs, (found, ln, st) = \
+                self._pend_hdr.popleft()
             found = np.asarray(found)
             ln = np.asarray(ln)
             st = np.asarray(st)
-            h_span = soft_fsk.HEADER_CODED_BITS \
-                * self._params.ds_samples_per_bit
-            for f in frames:
-                if not found[f.ch]:
-                    self.headers_failed += 1
-                    f.resolve(None, self._dirty)
-                    continue
-                b_rel = int(st[f.ch]) + h_span
-                self._body_groups[(q0, int(ln[f.ch]))].append((f, b_rel))
+            okm = found[chs]
+            n_bad = int(len(frames) - okm.sum())
+            if n_bad:
+                self.headers_failed += n_bad
+                dirty = self._dirty
+                for f, o in zip(frames, okm.tolist()):
+                    if not o:
+                        f.done = True
+                        dirty.add(f.ch)
+                ok_idx = np.nonzero(okm)[0]
+                frames = [frames[i] for i in ok_idx.tolist()]
+                chs = chs[ok_idx]
+            if not frames:
+                continue
+            lns_g = ln[chs]
+            b_rels = (st[chs] + h_span).astype(np.int32)
+            uniq = np.unique(lns_g)
+            for L in uniq.tolist():
+                if uniq.size == 1:
+                    g_frames, g_chs, g_b = frames, chs, b_rels
+                else:
+                    m = lns_g == L
+                    idx = np.nonzero(m)[0]
+                    g_frames = [frames[i] for i in idx.tolist()]
+                    g_chs, g_b = chs[m], b_rels[m]
+                self._body_groups[(q0, int(L))].append(
+                    (g_frames, g_chs, g_b))
 
     def _dispatch_bodies(self) -> None:
         j = self._fed - 1
         for (q0, ln) in sorted(self._body_groups):
             if q0 + self._K_b(ln) - 1 > j:
                 continue              # span still streaming in
-            rows = self._body_groups.pop((q0, ln))
+            chunks = self._body_groups.pop((q0, ln))
             if q0 <= j - self._n_slots:
-                self.dropped_ring += len(rows)
-                for f, _ in rows:
-                    f.resolve(None, self._dirty)
+                dirty = self._dirty
+                for frames, _, _ in chunks:
+                    self.dropped_ring += len(frames)
+                    for f in frames:
+                        f.done = True
+                        dirty.add(f.ch)
                 continue
             b_rel = np.zeros((self.batch,), np.int32)
             act = np.zeros((self.batch,), bool)
-            for f, b in rows:
-                b_rel[f.ch] = b
-                act[f.ch] = True
+            all_frames: List[_Frame] = []
+            for frames, chs, b in chunks:
+                b_rel[chs] = b
+                act[chs] = True
+                all_frames.extend(frames)
+            all_chs = (chunks[0][1] if len(chunks) == 1 else
+                       np.concatenate([c for _, c, _ in chunks]))
             packed = self._get_body_prog(ln)(
                 self._rx.ring, np.int32(q0), jnp.asarray(b_rel),
                 jnp.asarray(act))
@@ -517,19 +582,24 @@ class BlindSoftBatchReceiver:
             except (AttributeError, NotImplementedError):
                 pass
             self._pend_body.append(
-                (self._fed, ln, [f for f, _ in rows], packed))
+                (self._fed, ln, all_frames, all_chs, packed))
 
     def _finalize_bodies(self) -> None:
         while self._pend_body and self._pend_body[0][0] < self._fed:
-            _, ln, frames, packed = self._pend_body.popleft()
+            _, ln, frames, chs, packed = self._pend_body.popleft()
             packed = np.asarray(packed)
-            for f in frames:
-                if packed[f.ch, ln]:
-                    self.frames_decoded += 1
-                    f.resolve(bytes(packed[f.ch, :ln]), self._dirty)
-                else:
-                    self.frames_erased += 1
-                    f.resolve(None, self._dirty)
+            rows = packed[chs]                        # [n, ln+1] gather
+            okb = rows[:, ln] != 0
+            n_ok = int(okb.sum())
+            self.frames_decoded += n_ok
+            self.frames_erased += len(frames) - n_ok
+            buf = rows[:, :ln].tobytes()              # one copy-out
+            dirty = self._dirty
+            dirty.update(chs.tolist())
+            for i, (f, ok) in enumerate(zip(frames, okb.tolist())):
+                f.done = True
+                if ok:
+                    f.payload = buf[i * ln:(i + 1) * ln]
 
     def _emit_ready(self) -> List[Tuple[int, bytes]]:
         out: List[Tuple[int, bytes]] = []
