@@ -213,8 +213,8 @@ async def run(batch: int, rounds: int, payload_size: int,
         return agg["mean_ms"] * agg["count"] / 1e3 if agg else 0.0
 
     budget = {n: total_s(f"farm_hub.{n}") for n in
-              ("host_tx", "host_drain", "chunk", "yield_pump",
-               "fetch_wait")}
+              ("host_tx", "host_drain", "soft_finalize", "chunk",
+               "yield_pump", "fetch_wait")}
     print(f"host budget totals (s): " + ", ".join(
         f"{k}={v:.2f}" for k, v in budget.items())
         + f" | wall {wall:.2f}")

@@ -140,3 +140,61 @@ def test_config_roundtrip_snake_case():
     cfg = FSKConfig.from_dict({"baud_rate": 600})
     assert cfg.baud_rate == 600
     assert cfg.sample_rate == 48000  # defaults preserved
+
+# -- timeout_any: the single-allocation per-wait composite ----------------
+
+
+async def test_timeout_any_short_delay_fires():
+    # sub-second delays take the plain call_later path
+    s = AbortSignal.timeout_any(20, ())
+    assert not s.aborted
+    await asyncio.sleep(0.05)
+    assert s.aborted
+    assert isinstance(s.reason, TimeoutError)
+
+
+async def test_timeout_any_wheel_path_fires():
+    # >= 1 s delays go through the shared timer wheel (coarse buckets,
+    # never early, at most one bucket late)
+    s = AbortSignal.timeout_any(1000, ())
+    assert not s.aborted
+    await asyncio.sleep(0.95)
+    assert not s.aborted          # never fires early
+    await asyncio.sleep(0.3)
+    assert s.aborted
+    assert isinstance(s.reason, TimeoutError)
+
+
+async def test_timeout_any_parent_abort_propagates():
+    parent = AbortController()
+    s = AbortSignal.timeout_any(30000, (parent.signal,))
+    assert not s.aborted
+    parent.abort("parent-reason")
+    assert s.aborted
+    assert s.reason == "parent-reason"
+
+
+async def test_timeout_any_pre_aborted_parent():
+    parent = AbortController()
+    parent.abort("already")
+    s = AbortSignal.timeout_any(30000, (parent.signal,))
+    assert s.aborted
+    assert s.reason == "already"
+
+
+async def test_timeout_any_detach_cancels_timer_and_unhooks():
+    parent = AbortController()
+    s = AbortSignal.timeout_any(20, (parent.signal,))
+    s.detach()
+    await asyncio.sleep(0.05)
+    assert not s.aborted          # detached: timeout no longer aborts
+    parent.abort()
+    assert not s.aborted          # parent listener removed
+    assert parent.signal._listeners == []
+
+
+async def test_timeout_any_wheel_detach_skipped_at_fire():
+    s = AbortSignal.timeout_any(1000, ())
+    s.detach()
+    await asyncio.sleep(1.25)
+    assert not s.aborted

@@ -86,6 +86,51 @@ class _Cohort:
         self.active = np.ones(len(entries), bool)
 
 
+class _LeanQueue:
+    """Minimal asyncio.Queue replacement for the per-channel byte and
+    frame queues: a deque plus bare waiter Futures.
+
+    ``asyncio.Queue.get()`` is a coroutine, so a blocked protocol wait
+    costs a Task allocation plus two extra event-loop hops to resume
+    and finish that task before the real awaiter wakes.  At 4096
+    concurrent ARQ sessions the queue machinery was one of the largest
+    single host costs of a farm quantum (docs/PERFORMANCE.md round 5).
+    Here a blocked get awaits a bare Future resolved directly by
+    ``put_nowait`` — one allocation, one hop.  Unbounded like the
+    asyncio.Queue() it replaces; only the surface the channels use
+    (empty/qsize/get_nowait/put_nowait + waiter futures)."""
+
+    __slots__ = ("_items", "_waiters")
+
+    def __init__(self) -> None:
+        self._items: deque = deque()
+        self._waiters: deque = deque()
+
+    def empty(self) -> bool:
+        return not self._items
+
+    def qsize(self) -> int:
+        return len(self._items)
+
+    def get_nowait(self):
+        return self._items.popleft()
+
+    def put_nowait(self, item) -> None:
+        while self._waiters:
+            fut = self._waiters.popleft()
+            if not fut.done():     # skip cancelled/reset waiters
+                fut.set_result(item)
+                return
+        self._items.append(item)
+
+    def get_future(self) -> "asyncio.Future":
+        """A Future resolved with the next put (caller checked empty);
+        if the caller abandons it (cancel), put_nowait skips it."""
+        fut = asyncio.get_running_loop().create_future()
+        self._waiters.append(fut)
+        return fut
+
+
 class FarmDataChannel(IDataChannel):
     """IDataChannel view of one wire endpoint on a farm hub.
 
@@ -110,8 +155,8 @@ class FarmDataChannel(IDataChannel):
         self._hub = hub
         self.side = side
         self.index = index
-        self._bytes_q: asyncio.Queue = asyncio.Queue()
-        self._frames_q: asyncio.Queue = asyncio.Queue()
+        self._bytes_q = _LeanQueue()
+        self._frames_q = _LeanQueue()
         # which surface the consumer uses (a transport picks one);
         # the unused queue stops filling so long runs don't leak
         self._byte_consumer = False
@@ -139,10 +184,10 @@ class FarmDataChannel(IDataChannel):
             self._hub._cancel_tx(self.side, self.index, entry)
             raise
 
-    async def _get(self, queue: asyncio.Queue, signal):
+    async def _get(self, queue: _LeanQueue, signal):
         # sync fast path: after a hub drain the item is usually already
-        # queued — popping it here skips task creation and two event-loop
-        # hops per protocol wait (x 4096 sessions per quantum)
+        # queued — popping it here skips waiter creation and the
+        # event-loop hop per protocol wait (x 4096 sessions per quantum)
         if not queue.empty():
             if signal is not None:
                 signal.throw_if_aborted()
@@ -150,18 +195,20 @@ class FarmDataChannel(IDataChannel):
             if isinstance(item, Exception):
                 raise item
             return item
-        get_task = asyncio.ensure_future(queue.get())
-        self._pending_gets.append(get_task)
+        # blocked path: a bare waiter Future resolved directly by the
+        # next put — no Task, one loop hop (see _LeanQueue)
+        fut = queue.get_future()
+        self._pending_gets.append(fut)
         gen = self._reset_gen
         try:
-            item = await race_abort(get_task, signal)
+            item = await race_abort(fut, signal)
         except asyncio.CancelledError:
             if self._reset_gen != gen:
                 raise AbortError("DataChannel reset")
             raise  # genuine external cancellation must propagate
         finally:
-            if get_task in self._pending_gets:
-                self._pending_gets.remove(get_task)
+            if fut in self._pending_gets:
+                self._pending_gets.remove(fut)
         if isinstance(item, Exception):
             raise item
         return item

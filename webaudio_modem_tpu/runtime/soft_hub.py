@@ -253,26 +253,34 @@ class SoftFarmHub(RingHubBase):
             # fetch wait (device compute + transfer, blocking) timed
             # APART from host parse: conflating them once read as a
             # 1.2 s/cohort "drain" at B=4096 when the true host cost
-            # is ~22 ms (docs/PERFORMANCE.md, drain measurement)
+            # is ~22 ms (docs/PERFORMANCE.md, drain measurement).
+            # soft_finalize, NOT host_drain: _finalize calls _drain,
+            # whose own host_drain timer would nest inside this one
+            # and double-count the drain in the totals (r5 finding)
             with metrics.timer("farm_hub.fetch_wait"):
                 packed = np.asarray(packed)
-            with metrics.timer("farm_hub.host_drain"):
+            with metrics.timer("farm_hub.soft_finalize"):
                 self._finalize(rx_side, group, packed)
 
     # -- the pump ------------------------------------------------------------
 
     def step(self) -> None:
         """One audio quantum for both directions: dispatch the window
-        decodes that completed playout, launch new TX writes, then
-        finalize decodes dispatched on PREVIOUS steps (overlapping the
-        host parse with this step's device work).  Quanta with no due
-        window cost no device work."""
+        decodes that completed playout and launch new TX writes for
+        BOTH directions before finalizing either — the first
+        finalize's blocking device fetch would otherwise serialize
+        ahead of the second direction's dispatches (VERDICT r4 task 1:
+        overlap the two directions' device work).  Finalized decodes
+        were dispatched on PREVIOUS steps, so the host parse overlaps
+        this step's device work.  Quanta with no due window cost no
+        device work."""
         for tx_side, rx_side in (("a", "b"), ("b", "a")):
             with metrics.timer("farm_hub.chunk"):
                 for group in self._due[tx_side].pop(self.steps, ()):
                     self._dispatch_group(tx_side, rx_side, group)
             with metrics.timer("farm_hub.host_tx"):
                 self._launch(tx_side)
+        for rx_side in ("b", "a"):
             self._finalize_ready(rx_side)
         self.steps += 1
         self._resolve_playouts()
@@ -375,6 +383,7 @@ class BlindSoftFarmHub(RingHubBase):
         (its own pipeline overlaps detector/header/body dispatches
         with fetches from previous quanta), deliver what completed."""
         roff = np.int32((self.steps * self.quantum) % self.ring_len)
+        got = []
         for tx_side, rx_side in (("a", "b"), ("b", "a")):
             with metrics.timer("farm_hub.host_tx"):
                 self._launch(tx_side)
@@ -382,6 +391,11 @@ class BlindSoftFarmHub(RingHubBase):
                 ring, frame = self._consume(self._rings[tx_side], roff)
                 self._rings[tx_side] = ring
                 events = self._rx[rx_side].feed(frame)
+            got.append((rx_side, events))
+        # deliver AFTER both directions' device work is in flight —
+        # the drain's host loops would otherwise serialize ahead of
+        # the second direction's dispatches
+        for rx_side, events in got:
             self._deliver(rx_side, events)
         self.steps += 1
         self._resolve_playouts()

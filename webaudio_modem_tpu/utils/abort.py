@@ -11,6 +11,8 @@ signals, and ``AbortSignal.any`` composition.
 from __future__ import annotations
 
 import asyncio
+import math
+import weakref
 from typing import Any, Awaitable, Callable, Iterable, List, Optional, TypeVar
 
 
@@ -118,6 +120,112 @@ class AbortSignal:
             combined._cleanup.append(
                 lambda s=s, cb=cb: s.remove_listener(cb))
         return combined
+
+    @staticmethod
+    def timeout_any(ms: float,
+                    parents: Iterable["AbortSignal"]) -> "AbortSignal":
+        """``any([timeout(ms), *parents])`` as ONE signal — the
+        per-protocol-wait fast path.  The generic composition
+        allocates 2-3 signals plus ~8 closures per wait; at 4096
+        concurrent ARQ sessions that plumbing alone was ~40 us per
+        wait and the single largest host cost of a farm quantum
+        (docs/PERFORMANCE.md round 5).  Semantics are identical:
+        aborts with TimeoutError reason after ``ms``, or with the
+        parent's reason when any parent aborts; ``detach()`` cancels
+        the timer and unhooks the parents."""
+        return _TimeoutAny(ms, tuple(parents))
+
+
+class _TimerWheel:
+    """Coarse shared timers for long delays: ONE ``call_at`` per 100 ms
+    bucket instead of one ``call_later`` per protocol wait.
+
+    At 4096 concurrent ARQ sessions every wait parks a multi-second
+    timeout that almost never fires; per-wait ``call_later`` kept a
+    ~20k-entry timer heap whose Handle comparisons alone were a
+    visible slice of the farm quantum (docs/PERFORMANCE.md round 5).
+    A bucket fires at most 100 ms late — never early — which is
+    immaterial for multi-second protocol timeouts; sub-second delays
+    don't use the wheel (plain ``call_later``, full precision).
+    Detached signals are skipped at fire time (no unschedule); a
+    bucket holds its refs until its deadline passes."""
+
+    GRAN = 0.1
+    MIN_DELAY = 1.0
+
+    __slots__ = ("_loop", "_buckets")
+
+    def __init__(self, loop) -> None:
+        self._loop = loop
+        self._buckets: dict = {}
+
+    def schedule(self, delay: float, sig: "_TimeoutAny") -> None:
+        key = math.ceil((self._loop.time() + delay) / self.GRAN)
+        b = self._buckets.get(key)
+        if b is None:
+            b = self._buckets[key] = []
+            self._loop.call_at(key * self.GRAN, self._fire, key)
+        b.append(sig)
+
+    def _fire(self, key: int) -> None:
+        for sig in self._buckets.pop(key, ()):
+            sig._fire_timeout()      # no-op when aborted/detached
+
+
+_WHEELS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _wheel_for(loop) -> _TimerWheel:
+    wheel = _WHEELS.get(loop)
+    if wheel is None:
+        wheel = _WHEELS[loop] = _TimerWheel(loop)
+    return wheel
+
+
+class _TimeoutAny(AbortSignal):
+    def __init__(self, ms: float, parents: tuple) -> None:
+        super().__init__()
+        self._parents = parents
+        self._handle = None
+        self._dead = False
+        loop = asyncio.get_running_loop()
+        delay = ms / 1000.0
+        if delay >= _TimerWheel.MIN_DELAY:
+            _wheel_for(loop).schedule(delay, self)
+        else:
+            self._handle = loop.call_later(delay, self._fire_timeout)
+        fire = self._fire_parent
+        for p in parents:
+            p.add_listener(fire)       # calls back NOW if p aborted
+            if self._aborted:
+                break
+
+    def _fire_timeout(self) -> None:
+        if not self._dead:
+            self._do_abort(TimeoutError("timeout"))
+
+    def _fire_parent(self) -> None:
+        for p in self._parents:
+            if p._aborted:
+                self._do_abort(p._reason)
+                return
+
+    def _do_abort(self, reason: Any = None) -> None:
+        if self._aborted:
+            return
+        self._dead = True
+        if self._handle is not None:
+            self._handle.cancel()
+        super()._do_abort(reason)
+
+    def detach(self) -> None:
+        self._dead = True
+        if self._handle is not None:
+            self._handle.cancel()
+        fire = self._fire_parent
+        for p in self._parents:
+            p.remove_listener(fire)
+        super().detach()
 
 
 class AbortController:
