@@ -284,3 +284,40 @@ def test_unconsumed_channel_backlog_bounded():
     for _ in range(FarmDataChannel.UNCONSUMED_BACKLOG + 500):
         ch._deliver(b"x", [])
     assert ch._bytes_q.qsize() <= FarmDataChannel.UNCONSUMED_BACKLOG
+
+
+async def test_pump_crash_fails_fast_not_deadlock():
+    """A dispatch exception inside hub.step() must poison the hub:
+    blocked modulate/demodulate waits raise immediately and later
+    channel operations re-raise, instead of ARQ sessions hanging on
+    queues only the dead pump can fill (round-5 regression: an illegal
+    Pallas block shape raised at lowering inside the soft hub's decode
+    dispatch; through ensure_future(hub.run()) the endurance run
+    deadlocked for 28 minutes with zero diagnostics)."""
+    from webaudio_modem_tpu.models.config import FSKConfig
+
+    class Boom(RuntimeError):
+        pass
+
+    class CrashingHub(FarmLoopbackHub):
+        def step(self):
+            raise Boom("lowering rejected")
+
+    hub = CrashingHub(FSKConfig(baud_rate=1200), batch=2, quantum=1024)
+    ch_a, ch_b = hub.channel("a", 0), hub.channel("b", 0)
+    # block BEFORE the crash: a demodulate wait and a queued modulate
+    demod = asyncio.ensure_future(ch_b.demodulate())
+    mod = asyncio.ensure_future(ch_a.modulate(b"hello"))
+    await asyncio.sleep(0)
+    pump = asyncio.ensure_future(hub.run())
+    with pytest.raises(Boom):
+        await pump
+    with pytest.raises(Boom):
+        await demod
+    with pytest.raises(Boom):
+        await mod
+    # operations AFTER the crash re-raise instead of blocking
+    with pytest.raises(Boom):
+        await ch_a.modulate(b"more")
+    with pytest.raises(Boom):
+        await ch_b.demodulate()

@@ -72,6 +72,15 @@ class TestPallasViterbiDifferential:
         soft, bits = _coded_soft(rng, 128, 24, sigma=0.0)
         assert (_pallas_bits(soft, 24) == bits).all()
 
+    def test_payload40_body_shape(self):
+        # the farm-endurance body trellis (T=342) that round-5 moved
+        # onto the extended VMEM budget: rb=8 blocks, bit-identical
+        rng = np.random.RandomState(37)
+        n_bits = 8 * (40 + 2)                      # payload + len + CRC
+        soft, _ = _coded_soft(rng, 1024, n_bits, sigma=0.7)
+        assert (_pallas_bits(soft, n_bits)
+                == _lax_bits(jnp.asarray(soft), n_bits)).all()
+
     def test_group_boundary_lengths(self):
         # T % 16 == 0 (no remainder scan) and T < 16 (no groups)
         rng = np.random.RandomState(29)
@@ -90,3 +99,35 @@ class TestAvailability:
         assert not pviterbi.available(512)        # below MIN_L
         # backend gate: on the CPU-pinned suite this is always False
         assert pviterbi.available(2048) in (False, True)
+
+    def test_rows_blk_always_legal(self):
+        # Mosaic rejects sublane block dims that are neither multiples
+        # of 8 nor the whole dim; through the axon remote-compile
+        # tunnel that rejection wedged the client (round-5 farm
+        # endurance at payload 40: rows=16, T=342 picked rb=4).  Every
+        # returned block must be legal, and the payload-40 body shape
+        # must stay ON the kernel.
+        for rows in (8, 16, 24, 32, 12, 20):
+            for T in (38, 150, 342, 534, 1046):
+                rb = pviterbi._rows_blk(rows, T)
+                if rb == 0:
+                    continue                       # lax fallback
+                assert rows % rb == 0
+                assert rb % 8 == 0 or rb == rows, (rows, T, rb)
+        assert pviterbi._rows_blk(16, 342) == 8    # payload-40 body
+        assert pviterbi._rows_blk(32, 342) == 8    # ... at B=4096
+        assert pviterbi._rows_blk(16, 150) == 8    # unchanged (r4 pick)
+        # payload >~90 B trellises exceed every legal VMEM block ->
+        # available(L, T) must gate them off the kernel
+        assert pviterbi._rows_blk(16, 1046) == 0
+        assert not pviterbi.available(2048, 1046)
+
+    def test_long_trellis_takes_lax_path(self):
+        # fec._viterbi_core at a shape the kernel rejects must decode
+        # via the scan form (no ValueError), even where available(L)
+        # alone would have said yes
+        rng = np.random.RandomState(31)
+        n_bits = 8 * (128 + 2)                     # payload-128 body
+        soft, bits = _coded_soft(rng, 4, n_bits, sigma=0.0)
+        out = np.asarray(fec._viterbi_core(jnp.asarray(soft), n_bits))
+        assert (out == bits).all()

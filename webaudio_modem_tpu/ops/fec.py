@@ -151,7 +151,7 @@ def _viterbi_core(soft, n_bits: int, per_step_norm: bool = False):
         L = 1
         for s in batch_shape:
             L *= int(s)
-        if batch_shape and pviterbi.available(L):
+        if batch_shape and pviterbi.available(L, T):
             flat = soft.reshape((L,) + soft.shape[-2:])
             bits = pviterbi.decode(flat, n_bits)
             return bits.reshape(batch_shape + (n_bits,))

@@ -266,3 +266,33 @@ def available(B: int) -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # broken/unusable default backend — lax path
         return False
+
+
+# Estimated per-lane-block VMEM ceiling for fits(): the known-good
+# bench header barrel (csum 8361 rows) estimates ~13.0 MB and
+# compiles; the payload-40 endurance window (19201 rows) estimates
+# ~30 MB and is REJECTED by the 16 MB scoped-vmem limit at compile
+# (round-5 finding — the r4 endurance table predates this kernel).
+_VMEM_EST_BUDGET = 14 * 1024 * 1024
+
+
+def fits(T: int, n_out: int, ds: int, stride: int = 1,
+         pad_lo: int = 0, virt0: bool = False) -> bool:
+    """Whether the kernel fits scoped VMEM at these STATIC shapes.
+
+    The whole [T, 128] csum column is double-buffered per lane block
+    and the barrel scratch scales with msb(max_shift) (itself ~T), so
+    total VMEM ~ (2*T + y_rows + 2*rows_out) * 512 B — long decode
+    windows must take the lax barrel instead.  Mirrors ``_call``'s
+    shape derivations exactly."""
+    n_wsum = (T + 1 if virt0 else T) - ds
+    U = (n_out - 1) * stride + 1
+    max_shift = max(pad_lo + n_wsum - U, 0)
+    rows_out = _round8(n_out)
+    if stride == 1:
+        y_rows = _round8(max(U + max(_msb(max_shift), 1) - 1, U))
+    else:
+        kq = _msb(max_shift // stride)
+        y_rows = _round8(n_out + (2 * kq - 1 if kq else 0))
+    rows = 2 * T + y_rows + 2 * rows_out
+    return rows * LANES * 4 <= _VMEM_EST_BUDGET

@@ -69,10 +69,13 @@ def _call(softs, interpret: bool):
     n_ds, B = softs.shape
     rows = B // LANES
     x = softs.astype(jnp.float32).reshape(n_ds, rows, LANES)
+    # Mosaic-legal sublane block dims: multiples of 8, or the whole
+    # dim itself (rb = rows) — a 4-row block over a 12-row array is
+    # rejected at lowering (see viterbi._rows_blk)
     rb = rows
-    for cand in (32, 16, 8, 4, 2, 1):  # largest divisor <= 32
+    for cand in (32, 16, 8):           # largest legal divisor <= 32
         if rows % cand == 0:
-            rb = min(cand, rows)
+            rb = cand
             break
     n_t = pl.cdiv(n_ds + 1, T_BLK)
     out = pl.pallas_call(

@@ -39,6 +39,7 @@ realization of that design's decoder at farm batch.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -144,13 +145,32 @@ def _kernel(T: int, a_ref, d_ref, bits_ref, dec_ref):
 
 
 def _rows_blk(rows: int, T: int) -> int:
-    """Largest divisor of ``rows`` <= 32 whose per-block VMEM stays
-    comfortable (a/d/bits/dec planes scale with T * rows_blk)."""
-    rb = 1
-    for cand in (2, 4, 8, 16, 32):
-        if rows % cand == 0 and T * cand <= 2048:
-            rb = cand
-    return rb
+    """Largest Mosaic-LEGAL divisor of ``rows`` whose per-block VMEM
+    stays comfortable.
+
+    Legal sublane block dims are multiples of 8 or the whole dim
+    itself (the Pallas TPU lowering constraint on the last two block
+    dims); a 4-row block over a 16-row array is REJECTED at lowering,
+    and through the remote-compile tunnel that rejection surfaced as a
+    wedge, not an error.  Per-block VMEM is ~4 KB x T x rb (a/d/bits
+    double-buffered + the packed-decision scratch), so the preferred
+    budget T*rb <= 2048 keeps the round-4 block choices; the extended
+    3072 budget (~12 MB of ~16 MB/core) admits rb=8 for the payload-40
+    body trellis (T=342).  Returns 0 when no legal block fits — the
+    caller (fec._viterbi_core via ``available``) falls back to the lax
+    scan form."""
+    for budget in (2048, 3072):
+        best = 0
+        for cand in (2, 4, 8, 16, 32):
+            if rows % cand or (cand % 8 and cand != rows):
+                continue
+            if T * cand <= budget:
+                best = cand
+        if best:
+            return best
+    if T * rows <= 3072:
+        return rows          # whole-dim block is always legal
+    return 0
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -162,6 +182,10 @@ def decode(soft, n_bits: int, interpret: bool = False):
     L, T, _ = soft.shape
     rows = L // LANES
     rb = _rows_blk(rows, T)
+    if rb == 0:
+        raise ValueError(
+            f"no legal VMEM block for L={L}, T={T} — gate calls with "
+            f"available(L, T) and use the lax path")
 
     soft = soft.astype(jnp.float32)
     a = (soft[..., 0] + soft[..., 1]).T.reshape(T, rows, LANES)
@@ -187,8 +211,13 @@ def decode(soft, n_bits: int, interpret: bool = False):
     return bits.reshape(T, L).T[:, :n_bits]
 
 
-def available(L: int) -> bool:
+def available(L: int, T: Optional[int] = None) -> bool:
+    """Whether the kernel supports ``L`` lanes (and, when given, a
+    ``T``-step trellis: long trellises can exceed every legal VMEM
+    block — e.g. payload >~90 B conv bodies — and take the lax path)."""
     if L % LANES != 0 or L < MIN_L:
+        return False
+    if T is not None and _rows_blk(L // LANES, T) == 0:
         return False
     try:
         return jax.default_backend() == "tpu"

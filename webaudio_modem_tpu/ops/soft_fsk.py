@@ -849,17 +849,22 @@ def _candidate_headers(params: FSKParams, csum, t_peak, gate,
     otherwise (interpret/CPU safety).
     """
     from webaudio_modem_tpu.ops.pallas import align as palign
-    if virt0 and not palign.available(csum.shape[1]):
-        csum = jnp.concatenate(
-            [jnp.zeros((1, csum.shape[1]), jnp.float32), csum], 0)
-        virt0 = False
-    n_ds = csum.shape[0] - (0 if virt0 else 1)
-    B = csum.shape[1]
     ds = params.ds_samples_per_bit
     h_bits = HEADER_CODED_BITS
     offsets_np = _grid_offsets(params)
     n_off = len(offsets_np)
     pad_lo = -int(offsets_np[0])         # static: grid reaches this
+    _U = n_off + (h_bits - 1) * ds + 1
+    # kernel only when the whole csum column + barrel scratch fit
+    # scoped VMEM — long windows (payload-40 Lpad) take the lax barrel
+    use_kernel = palign.available(csum.shape[1]) and palign.fits(
+        csum.shape[0], _U, ds, stride=1, pad_lo=pad_lo, virt0=virt0)
+    if virt0 and not use_kernel:
+        csum = jnp.concatenate(
+            [jnp.zeros((1, csum.shape[1]), jnp.float32), csum], 0)
+        virt0 = False
+    n_ds = csum.shape[0] - (0 if virt0 else 1)
+    B = csum.shape[1]
     offsets = jnp.asarray(offsets_np, jnp.int32)  # far below the peak
 
     starts = t_peak[:, None] + 1 + offsets[None, :]    # [B, n_off]
@@ -882,7 +887,7 @@ def _candidate_headers(params: FSKParams, csum, t_peak, gate,
     U = n_off + (h_bits - 1) * ds + 1
     len_pad = pad_lo + (n_ds + 1 - ds)                 # padded wsum rows
     base = jnp.clip(t_peak + 1, 0, max(len_pad - U, 0))
-    if palign.available(B):
+    if use_kernel:
         # VMEM barrel (ops/pallas/align.py): one csum read instead of
         # ~0.5 GB of HBM select passes; bit-identical to the lax form
         al = palign.aligned_wsum(csum, base, U, ds, stride=1,
@@ -1035,7 +1040,9 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     body_bits = _body_coded_bits(payload_len, rs_parity, body_code)
     n_body_bytes = payload_len + 2 + rs_parity
     from webaudio_modem_tpu.ops.pallas import align as palign
-    if csum_virt0 and not palign.available(csum.shape[1]):
+    use_kernel = palign.available(csum.shape[1]) and palign.fits(
+        csum.shape[0], body_bits, ds, stride=ds, virt0=csum_virt0)
+    if csum_virt0 and not use_kernel:
         csum = jnp.concatenate(
             [jnp.zeros((1, csum.shape[1]), jnp.float32), csum], 0)
         csum_virt0 = False
@@ -1052,7 +1059,7 @@ def _batch_body_stage(params: FSKParams, csum, b_starts,
     U = (body_bits - 1) * ds + 1
     n_wsum = n_rows - ds
     base = jnp.clip(b_starts, 0, max(n_wsum - U, 0))
-    if palign.available(B):
+    if use_kernel:
         # VMEM barrel — see the header-stage note; strided variant
         b_llr = palign.aligned_wsum(
             csum, base, body_bits, ds, stride=ds,

@@ -172,6 +172,8 @@ class FarmDataChannel(IDataChannel):
                        signal: Optional[AbortSignal] = None) -> None:
         if signal is not None:
             signal.throw_if_aborted()
+        if self._hub._failed is not None:
+            raise self._hub._failed
         data = bytes(data)
         if not data:
             return
@@ -185,6 +187,8 @@ class FarmDataChannel(IDataChannel):
             raise
 
     async def _get(self, queue: _LeanQueue, signal):
+        if self._hub._failed is not None:
+            raise self._hub._failed
         # sync fast path: after a hub drain the item is usually already
         # queued — popping it here skips waiter creation and the
         # event-loop hop per protocol wait (x 4096 sessions per quantum)
@@ -303,6 +307,9 @@ class FarmHubBase:
             "a": [None] * batch, "b": [None] * batch}
         self._running = False
         self.steps = 0
+        # set by _fail() when the pump crashes: channel operations
+        # re-raise it instead of blocking on queues nobody will fill
+        self._failed: Optional[BaseException] = None
 
     # -- wiring -----------------------------------------------------------
 
@@ -464,12 +471,45 @@ class FarmHubBase:
                 with metrics.timer("farm_hub.yield_pump"):
                     for _ in range(max(1, yields_per_step)):
                         await asyncio.sleep(0)
+        except BaseException as exc:
+            # fail FAST: callers run the pump as a background task
+            # (``ensure_future(hub.run())``) whose exception nobody
+            # awaits until the transfers end — without poisoning, a
+            # dispatch error here (e.g. a kernel lowering rejection)
+            # leaves every ARQ session blocked on queues only this
+            # pump can fill
+            self._fail(exc)
+            raise
         finally:
             self._running = False
-            self.flush()
+            if self._failed is None:
+                self.flush()
 
     def stop(self) -> None:
         self._running = False
+
+    def _fail(self, exc: BaseException) -> None:
+        """Poison the hub after a pump crash: every blocked protocol
+        wait and queued/playing transmission resolves with ``exc``
+        immediately, and later channel operations re-raise it (see
+        FarmDataChannel.modulate/_get)."""
+        if self._failed is not None:
+            return
+        self._failed = exc
+        for ch in self._channels.values():
+            pending, ch._pending_gets = ch._pending_gets, []
+            for fut in pending:
+                if not fut.done():
+                    fut.set_exception(exc)
+        for side in ("a", "b"):
+            for dq in self._pending_tx[side]:
+                for e in dq:
+                    if not e.fut.done():
+                        e.fut.set_exception(exc)
+                dq.clear()
+            for e in self._playing[side]:
+                if e is not None and not e.fut.done():
+                    e.fut.set_exception(exc)
 
 
 class FarmLoopbackHub(FarmHubBase):
