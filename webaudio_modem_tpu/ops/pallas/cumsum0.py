@@ -36,6 +36,25 @@ MIN_B = 1024        # below farm batch the log-pass cumsum is cheap
 T_BLK = 256
 _UNROLL = 8
 
+# Pipelined per-block VMEM: in + out, each double-buffered ->
+# 4 x T_BLK x rb x LANES x 4 B.  rb=32 (B=4096) measured 16.02 MB vs
+# the 16.00 MB scoped limit at compile (round 5); cap well under it.
+_RB_BUDGET = 12 * 1024 * 1024
+
+
+def _rb(rows: int) -> int:
+    """Largest Mosaic-LEGAL row block under the VMEM budget: legal
+    sublane block dims are multiples of 8 or the whole dim itself
+    (see viterbi._rows_blk).  0 = nothing fits; callers take the lax
+    log-pass cumsum via ``available``."""
+    per = T_BLK * LANES * 4 * 4
+    for cand in (16, 8):
+        if rows % cand == 0 and cand * per <= _RB_BUDGET:
+            return cand
+    if rows * per <= _RB_BUDGET:
+        return rows            # whole-dim block is always legal
+    return 0
+
 
 def _kernel(x_ref, out_ref, carry):
     t_idx = pl.program_id(1)
@@ -69,14 +88,10 @@ def _call(softs, interpret: bool):
     n_ds, B = softs.shape
     rows = B // LANES
     x = softs.astype(jnp.float32).reshape(n_ds, rows, LANES)
-    # Mosaic-legal sublane block dims: multiples of 8, or the whole
-    # dim itself (rb = rows) — a 4-row block over a 12-row array is
-    # rejected at lowering (see viterbi._rows_blk)
-    rb = rows
-    for cand in (32, 16, 8):           # largest legal divisor <= 32
-        if rows % cand == 0:
-            rb = cand
-            break
+    rb = _rb(rows)
+    if rb == 0:
+        raise ValueError(
+            f"no legal VMEM block for B={B} — gate with available(B)")
     n_t = pl.cdiv(n_ds + 1, T_BLK)
     out = pl.pallas_call(
         _kernel,
@@ -97,7 +112,7 @@ def _call(softs, interpret: bool):
 
 
 def available(B: int) -> bool:
-    if B % LANES != 0 or B < MIN_B:
+    if B % LANES != 0 or B < MIN_B or _rb(B // LANES) == 0:
         return False
     try:
         return jax.default_backend() == "tpu"
