@@ -198,3 +198,29 @@ async def test_timeout_any_wheel_detach_skipped_at_fire():
     s.detach()
     await asyncio.sleep(1.25)
     assert not s.aborted
+
+
+def test_timeout_any_detach_drops_refs():
+    """The timer wheel retains detached signals until their bucket's
+    deadline (no unschedule, by design); detach must leave only a
+    bare husk — no parent signals or waiter closures — so a farm
+    run's retained window costs bytes, not object graphs."""
+    import asyncio
+
+    from webaudio_modem_tpu.utils.abort import AbortController, AbortSignal
+
+    async def main():
+        ext = AbortController()
+        sig = AbortSignal.timeout_any(5000, [ext.signal])
+        sig.add_listener(lambda: None)
+        assert sig._parents
+        sig.detach()
+        assert sig._parents == ()
+        assert not sig._listeners
+        assert sig._handle is None
+        assert not ext.signal._listeners     # unhooked from the parent
+        # late wheel fire is a no-op on the husk
+        sig._fire_timeout()
+        assert not sig.aborted
+
+    asyncio.run(main())

@@ -222,10 +222,17 @@ class _TimeoutAny(AbortSignal):
         self._dead = True
         if self._handle is not None:
             self._handle.cancel()
+            self._handle = None
         fire = self._fire_parent
         for p in self._parents:
             p.remove_listener(fire)
+        # the timer wheel holds this object until its bucket's deadline
+        # passes (by design, no unschedule) — drop every outgoing ref
+        # so what it retains is a bare husk, not the parent signals /
+        # waiter closures behind a whole protocol wait
+        self._parents = ()
         super().detach()
+        self._listeners.clear()
 
 
 class AbortController:
