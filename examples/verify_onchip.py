@@ -226,6 +226,25 @@ def check_soft_farm(B=1024, payload=9, snr_db=7.0):
     return True, f"{B}/{B} FEC frames exact at {snr_db:g} dB (device)"
 
 
+def check_soft_farm_long_payload(B=1024, payload=96, snr_db=10.0):
+    """The round-5 VMEM gates: a 96-byte payload puts the body trellis
+    (T=790) past every legal Viterbi kernel block and the decode
+    window (T=72720 samples) past the align kernel's scoped-VMEM
+    budget, so BOTH stages must take their lax fallbacks inside the
+    fused program — silently-correct gating is the contract (the
+    kernels' available(...) returning wrongly True wedged/failed
+    compiles; returning wrongly False only costs speed)."""
+    erasures, wrong = _soft_farm_run(B, payload, snr_db, key=11)
+    if wrong:
+        return False, (f"{wrong}/{B} long-payload channels SILENTLY "
+                       f"corrupt at {snr_db:g} dB")
+    if erasures:
+        return False, (f"{erasures}/{B} long-payload channels erased "
+                       f"at {snr_db:g} dB")
+    return True, (f"{B}/{B} payload-{payload} frames exact at "
+                  f"{snr_db:g} dB (lax-fallback trellis + barrel)")
+
+
 def check_turbo_body_farm(B=256, payload=9, snr_db=8.0):
     """Turbo as the batched body code: one batched max-log-MAP over
     B x n_cw codewords replaces the body Viterbi on device."""
@@ -348,6 +367,7 @@ CHECKS = [
     ("psk_farm", check_psk_farm),
     ("mini_arq", check_mini_arq),
     ("soft_farm", check_soft_farm),
+    ("soft_farm_long_payload", check_soft_farm_long_payload),
     ("ldpc_body_farm", check_ldpc_body_farm),
     ("turbo_body_farm", check_turbo_body_farm),
     ("soft_hub_arq", check_soft_hub_arq),
