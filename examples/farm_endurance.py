@@ -54,7 +54,7 @@ async def run(batch: int, rounds: int, payload_size: int,
               noise_power: float, quantum: int, ring_quanta: int,
               timeout_ms: float, soft: bool = False,
               rs_parity: int = 0, body: str = "",
-              blind: bool = False) -> int:
+              blind: bool = False, stages: bool = False) -> int:
     import jax
 
     # Persistent compile cache ONLY for the (remote-compiled) TPU
@@ -159,6 +159,7 @@ async def run(batch: int, rounds: int, payload_size: int,
                         for i in range(batch)]
             t_rnd = time.perf_counter()
             steps0 = hub.steps
+            snap_r0 = metrics.snapshot()["timings"] if stages else None
             recv_tasks = [asyncio.ensure_future(r.receive_data())
                           for r in receivers]
             await asyncio.sleep(0)
@@ -175,6 +176,19 @@ async def run(batch: int, rounds: int, payload_size: int,
                   f"{hub.steps - steps0} quanta "
                   f"({dt / max(hub.steps - steps0, 1) * 1000:.0f} ms/"
                   f"quantum, RSS {_rss_mb():.0f} MB)", flush=True)
+            if stages:
+                # per-round stage deltas, normalized per quantum — the
+                # steady-state budget without warm-up/compile skew
+                snap_r1 = metrics.snapshot()["timings"]
+                q = max(hub.steps - steps0, 1)
+                deltas = sorted(
+                    ((k, v["total_s"]
+                      - snap_r0.get(k, {"total_s": 0.0})["total_s"])
+                     for k, v in snap_r1.items()),
+                    key=lambda kv: -kv[1])
+                print("    stages ms/q: " + "  ".join(
+                    f"{k.split('.', 1)[-1]}={v / q * 1e3:.1f}"
+                    for k, v in deltas[:9] if v > 0.0005), flush=True)
             if bad:
                 ok = False
                 break
@@ -234,6 +248,8 @@ def main() -> int:
     p.add_argument("--soft", action="store_true",
                    help="run over the soft-FEC wire "
                         "(runtime/soft_hub.SoftFarmHub)")
+    p.add_argument("--stages", action="store_true",
+                   help="print per-round stage deltas (ms/quantum)")
     p.add_argument("--blind", action="store_true",
                    help="soft wire with the fully blind receive path "
                         "(runtime/soft_hub.BlindSoftFarmHub)")
@@ -247,7 +263,7 @@ def main() -> int:
                            args.noise, args.quantum, args.ring_quanta,
                            args.timeout_ms, soft=args.soft,
                            rs_parity=args.rs_parity, body=args.body,
-                           blind=args.blind))
+                           blind=args.blind, stages=args.stages))
 
 
 if __name__ == "__main__":

@@ -100,11 +100,12 @@ class _LeanQueue:
     asyncio.Queue() it replaces; only the surface the channels use
     (empty/qsize/get_nowait/put_nowait + waiter futures)."""
 
-    __slots__ = ("_items", "_waiters")
+    __slots__ = ("_items", "_waiters", "_loop")
 
     def __init__(self) -> None:
         self._items: deque = deque()
         self._waiters: deque = deque()
+        self._loop = None          # cached on first blocked get
 
     def empty(self) -> bool:
         return not self._items
@@ -125,8 +126,13 @@ class _LeanQueue:
 
     def get_future(self) -> "asyncio.Future":
         """A Future resolved with the next put (caller checked empty);
-        if the caller abandons it (cancel), put_nowait skips it."""
-        fut = asyncio.get_running_loop().create_future()
+        if the caller abandons it (cancel), put_nowait skips it.
+        The loop ref is cached — get_running_loop() per blocked wait
+        was ~16 ms/quantum of the 4096-session stub budget."""
+        loop = self._loop
+        if loop is None:
+            loop = self._loop = asyncio.get_running_loop()
+        fut = loop.create_future()
         self._waiters.append(fut)
         return fut
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import math
+import time
 import weakref
 from typing import Any, Awaitable, Callable, Iterable, List, Optional, TypeVar
 
@@ -183,22 +184,83 @@ def _wheel_for(loop) -> _TimerWheel:
 
 
 class _TimeoutAny(AbortSignal):
+    """LAZY composite: the timer and the parent-listener hookup happen
+    on first blocking use (``add_listener``/``wait`` — i.e. when a
+    protocol wait actually parks), not at construction.  Roughly half
+    the farm byte waits resolve on the sync fast path (the item is
+    already queued after a hub drain) and never block; for those the
+    whole signal lifecycle is two flag checks and a parent scan.  The
+    timeout clock therefore starts at the first park — at most LATER
+    than at construction (by the microseconds spent on fast-path
+    reads), never earlier, the same late-never-early contract as the
+    timer wheel's bucketing."""
+
     def __init__(self, ms: float, parents: tuple) -> None:
         super().__init__()
         self._parents = parents
         self._handle = None
         self._dead = False
+        self._deadline = time.monotonic() + ms / 1000.0
+        self._armed = False
+
+    def _arm(self) -> None:
+        """Schedule the async notification machinery (wheel/timer +
+        parent listeners).  Needed only when someone will be NOTIFIED
+        (listener attached / wait parked); instant observations
+        (``aborted``/``throw_if_aborted``) are answered by
+        ``_sync_lazy`` arithmetic without ever arming."""
+        if self._armed or self._dead or self._aborted:
+            return
+        self._armed = True
         loop = asyncio.get_running_loop()
-        delay = ms / 1000.0
+        delay = self._deadline - time.monotonic()
+        if delay <= 0:
+            self._fire_timeout()
+            return
         if delay >= _TimerWheel.MIN_DELAY:
             _wheel_for(loop).schedule(delay, self)
         else:
             self._handle = loop.call_later(delay, self._fire_timeout)
         fire = self._fire_parent
-        for p in parents:
+        for p in self._parents:
             p.add_listener(fire)       # calls back NOW if p aborted
             if self._aborted:
                 break
+
+    def _sync_lazy(self) -> None:
+        """Un-armed instant observation: reflect parent aborts and the
+        deadline by arithmetic (no timers, no listeners)."""
+        if self._aborted or self._armed:
+            return
+        self._fire_parent()
+        if not self._aborted and time.monotonic() >= self._deadline:
+            self._fire_timeout()
+
+    @property
+    def aborted(self) -> bool:
+        self._sync_lazy()
+        return self._aborted
+
+    @property
+    def reason(self) -> Any:
+        return self._reason
+
+    def add_listener(self, callback: Callable[[], None],
+                     once: bool = True) -> None:
+        self._sync_lazy()
+        if not self._aborted:
+            self._arm()
+        super().add_listener(callback, once)
+
+    def throw_if_aborted(self) -> None:
+        self._sync_lazy()
+        super().throw_if_aborted()
+
+    async def wait(self) -> None:
+        self._sync_lazy()
+        if not self._aborted:
+            self._arm()
+        await super().wait()
 
     def _fire_timeout(self) -> None:
         if not self._dead:
@@ -223,9 +285,10 @@ class _TimeoutAny(AbortSignal):
         if self._handle is not None:
             self._handle.cancel()
             self._handle = None
-        fire = self._fire_parent
-        for p in self._parents:
-            p.remove_listener(fire)
+        if self._armed:
+            fire = self._fire_parent
+            for p in self._parents:
+                p.remove_listener(fire)
         # the timer wheel holds this object until its bucket's deadline
         # passes (by design, no unschedule) — drop every outgoing ref
         # so what it retains is a bare husk, not the parent signals /
